@@ -1,0 +1,150 @@
+"""Batched NB dispersion estimation in log-alpha (MLE / MAP).
+
+Parity target (reference, owkin/PyDESeq2): pydeseq2/utils.py:441-564
+(``fit_alpha_mle``: scipy L-BFGS-B on nll + Cox-Reid + prior, per gene in a
+joblib pool) and pydeseq2/grid_search.py:54-142 (``grid_fit_alpha`` fallback).
+
+TPU design: the objective is 1-D and bounded, so instead of translating the
+scipy optimizer + fallback cascade we run, for EVERY gene at once:
+
+  1. a coarse scan of the objective over ``grid_length`` points spanning
+     [log(min_disp), log(max_disp)] (lax.scan, one (G,N) tile per step),
+  2. a fine scan of the same length centered on each gene's coarse argmin,
+  3. a few safeguarded Newton steps (autodiff gradient/curvature of the
+     masked objective) to polish to machine-precision optimum.
+
+This is deterministic, has no per-gene control flow, and subsumes both the
+optimizer and the grid fallback of the reference (the grid *is* the primary
+path). Gene lanes are independent -> shards trivially over a gene mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pydeseq2_tpu.ops.nb import nb_nll
+
+
+def _alpha_objective(
+    log_alpha: jnp.ndarray,
+    counts: jnp.ndarray,
+    design_matrix: jnp.ndarray,
+    mu: jnp.ndarray,
+    log_alpha_hat: jnp.ndarray,
+    prior_disp_var,
+    cr_reg: bool,
+    prior_reg: bool,
+) -> jnp.ndarray:
+    """Per-lane objective: nb_nll + Cox-Reid + optional log-normal prior.
+
+    Parity: reference pydeseq2/utils.py:509-520.
+
+    log_alpha: (G,). counts/mu: (G, N). Returns (G,).
+    """
+    alpha = jnp.exp(log_alpha)
+    obj = nb_nll(counts, mu, alpha)
+    if cr_reg:
+        W = mu / (1.0 + mu * alpha[:, None])  # (G, N)
+        M = jnp.einsum("gn,np,nq->gpq", W, design_matrix, design_matrix, optimize=True)
+        _, logdet = jnp.linalg.slogdet(M)
+        obj = obj + 0.5 * logdet
+    if prior_reg:
+        obj = obj + (log_alpha - log_alpha_hat) ** 2 / (2.0 * prior_disp_var)
+    return obj
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cr_reg", "prior_reg", "grid_length", "newton_iters"),
+)
+def alpha_mle_batch(
+    counts: jnp.ndarray,
+    design_matrix: jnp.ndarray,
+    mu: jnp.ndarray,
+    alpha_hat: jnp.ndarray,
+    min_disp: float,
+    max_disp: float,
+    prior_disp_var: float | None = None,
+    cr_reg: bool = True,
+    prior_reg: bool = False,
+    grid_length: int = 100,
+    newton_iters: int = 6,
+):
+    """Estimate per-gene dispersions by coarse->fine grid + Newton polish.
+
+    Parameters
+    ----------
+    counts, mu : (G, N) gene-major tiles.
+    design_matrix : (N, P), replicated.
+    alpha_hat : (G,) initial/prior dispersions (the prior mean under
+        ``prior_reg``).
+
+    Returns
+    -------
+    alpha : (G,) fitted dispersions, in [min_disp, max_disp].
+    converged : (G,) bool (always True except non-finite lanes; the grid is
+        global so there is no optimizer failure mode to report).
+    """
+    dtype = mu.dtype
+    lo = jnp.asarray(jnp.log(min_disp), dtype)
+    hi = jnp.asarray(jnp.log(max_disp), dtype)
+    G = counts.shape[0]
+    la_hat = jnp.log(jnp.clip(alpha_hat, min_disp, max_disp)).astype(dtype)
+    pdv = jnp.asarray(1.0 if prior_disp_var is None else prior_disp_var, dtype)
+
+    def obj(la):
+        return _alpha_objective(
+            la, counts, design_matrix, mu, la_hat, pdv, cr_reg, prior_reg
+        )
+
+    def scan_grid(center, halfwidth, length):
+        """Evaluate obj on per-lane grids center +/- halfwidth, keep argmin."""
+        step = 2.0 * halfwidth / (length - 1)
+
+        def body(carry, k):
+            best_f, best_la = carry
+            la = jnp.clip(center - halfwidth + k * step, lo, hi)
+            f = obj(la)
+            better = f < best_f
+            return (
+                (jnp.where(better, f, best_f), jnp.where(better, la, best_la)),
+                None,
+            )
+
+        init = (jnp.full((G,), jnp.inf, dtype=dtype), jnp.broadcast_to(center, (G,)) * 1.0)
+        (best_f, best_la), _ = jax.lax.scan(
+            body, init, jnp.arange(length, dtype=dtype)
+        )
+        return best_f, best_la, step
+
+    # 1) coarse pass over the full admissible range
+    center0 = jnp.broadcast_to((lo + hi) / 2.0, (G,))
+    hw0 = (hi - lo) / 2.0
+    f1, la1, step1 = scan_grid(center0, jnp.broadcast_to(hw0, (G,)) * 1.0, grid_length)
+    # 2) fine pass around each lane's coarse argmin (one coarse cell each way)
+    f2, la2, step2 = scan_grid(la1, jnp.broadcast_to(step1, (G,)), grid_length)
+
+    # 3) Newton polish with step clipping + objective safeguard
+    sum_obj = lambda la: obj(la).sum()
+    grad = jax.grad(sum_obj)
+    curv = jax.grad(lambda la: grad(la).sum())  # diag of Hessian (lanes indep.)
+
+    def newton_body(i, state):
+        la, f_best = state
+        g = grad(la)
+        h = curv(la)
+        raw = jnp.where(h > 0, g / h, jnp.sign(g) * step2)
+        step = jnp.clip(raw, -step2, step2)
+        cand = jnp.clip(la - step, lo, hi)
+        f_cand = obj(cand)
+        better = f_cand < f_best
+        return jnp.where(better, cand, la), jnp.where(better, f_cand, f_best)
+
+    la_fit, f_fit = jax.lax.fori_loop(0, newton_iters, newton_body, (la2, f2))
+
+    alpha = jnp.exp(la_fit)
+    converged = jnp.isfinite(f_fit)
+    return alpha, converged

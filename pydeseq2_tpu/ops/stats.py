@@ -1,0 +1,188 @@
+"""Robust statistics kernels: trimmed moments, MAD, BH adjustment, lowess.
+
+Behavioral parity targets (reference, owkin/PyDESeq2):
+- trimmed_mean / trimmed_variance / trimmed_cell_variance: pydeseq2/utils.py:567-679
+- mean_absolute_deviation: pydeseq2/utils.py:1210-1227
+- BH adjustment: scipy.stats.false_discovery_control(method="bh") as used in
+  pydeseq2/ds.py:513,540
+- lowess: pydeseq2/utils.py:1379-1443 (tricube robust local linear regression)
+
+Everything that touches the (samples x genes) matrix is a batched jnp kernel so
+it runs on-device and shards over the gene axis. The tiny fixed-size pieces
+(lowess over 50 filtering cutoffs) run wherever jnp places them - they are
+O(50^2) and irrelevant for performance.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+# Phi^{-1}(0.75), used by the scaled MAD estimator. Hard constant so no
+# scipy.stats dependency on the device path.
+_NORM_PPF_075 = 0.6744897501960817
+
+
+def trimmed_mean(x: jnp.ndarray, trim: float = 0.1, axis: int = 0) -> jnp.ndarray:
+    """Mean after trimming ``floor(n * trim)`` entries at each end (sorted).
+
+    Parity: reference pydeseq2/utils.py:567-599 (sort-based trim, *not*
+    scipy.stats.trim_mean's interpolation).
+    """
+    x = jnp.asarray(x)
+    n = x.shape[axis]
+    ntrim = math.floor(n * trim)
+    s = jnp.sort(x, axis=axis)
+    sl = [slice(None)] * s.ndim
+    sl[axis] = slice(ntrim, n - ntrim)
+    return s[tuple(sl)].mean(axis)
+
+
+def scipy_style_trim_mean(x: jnp.ndarray, proportiontocut: float, axis: int = 0):
+    """scipy.stats.trim_mean semantics (used by the reference for the mean trend).
+
+    scipy trims ``int(n * proportiontocut)`` values at each end of the sorted
+    array; for the proportions used here (0.001) this matches floor().
+    Parity: scipy.stats.trim_mean as called at reference pydeseq2/dds.py:505,1288.
+    """
+    return trimmed_mean(x, trim=proportiontocut, axis=axis)
+
+
+def trimmed_variance(x: jnp.ndarray, trim: float = 0.125, axis: int = 0) -> jnp.ndarray:
+    """Trimmed variance with the 1.51 trimming-bias scale factor.
+
+    Parity: reference pydeseq2/utils.py:653-679.
+    """
+    rm = trimmed_mean(x, trim=trim, axis=axis)
+    sqerror = (x - jnp.expand_dims(rm, axis)) ** 2
+    return 1.51 * trimmed_mean(sqerror, trim=trim, axis=axis)
+
+
+# (trim ratio, scale) lookup by cohort-size bin; bins are n < 3.5, n < 23.5,
+# n >= 23.5. Parity: reference pydeseq2/utils.py:622-645.
+_COHORT_TRIM_RATIOS = (1.0 / 3.0, 1.0 / 4.0, 1.0 / 8.0)
+_COHORT_SCALES = (2.04, 1.86, 1.51)
+
+
+def _cohort_bin(n: int) -> int:
+    return 2 if n >= 23.5 else 1 if n >= 3.5 else 0
+
+
+def trimmed_cell_variance(counts: jnp.ndarray, cells: np.ndarray) -> jnp.ndarray:
+    """Max-over-cohorts trimmed variance of counts, grouped by ``cells``.
+
+    Parameters
+    ----------
+    counts : (N, G) array
+        Sample-major counts (device array).
+    cells : (N,) numpy int array
+        Host-side cohort id per sample. Cohort membership is part of the
+        experiment design, i.e. static -> per-cohort gathers are host-static
+        index lists and everything stays jit-compatible.
+
+    Parity: reference pydeseq2/utils.py:602-650.
+    """
+    cells = np.asarray(cells)
+    levels = list(dict.fromkeys(cells.tolist()))  # preserve first-seen order
+    var_ests = []
+    for lvl in levels:
+        idx = np.where(cells == lvl)[0]
+        b = _cohort_bin(len(idx))
+        trim, scale = _COHORT_TRIM_RATIOS[b], _COHORT_SCALES[b]
+        sub = counts[idx, :]
+        cell_means = trimmed_mean(sub, trim=trim, axis=0)
+        sqerror = (sub - cell_means[None, :]) ** 2
+        var_ests.append(scale * trimmed_mean(sqerror, trim=trim, axis=0))
+    return jnp.stack(var_ests, axis=0).max(axis=0)
+
+
+def mean_absolute_deviation(x: jnp.ndarray) -> jnp.ndarray:
+    """Scaled median-absolute-deviation estimator.
+
+    Parity: reference pydeseq2/utils.py:1210-1227.
+    """
+    center = jnp.median(x)
+    return jnp.median(jnp.abs(x - center)) / _NORM_PPF_075
+
+
+def bh_adjust_masked(p_values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Benjamini-Hochberg adjustment of ``p_values`` restricted to ``mask``.
+
+    Batched over leading axes: ``p_values`` and ``mask`` share shape
+    (..., G); the adjustment is performed independently per leading index on
+    the masked subset, with NaN outside the mask. This vectorizes the
+    reference's 50 independent-filtering BH passes (pydeseq2/ds.py:509-513)
+    into one device program.
+
+    Parity: scipy.stats.false_discovery_control(ps, method="bh").
+    """
+    p = jnp.asarray(p_values, dtype=jnp.result_type(float))
+    mask = jnp.asarray(mask, dtype=bool)
+    big = jnp.inf
+    pm = jnp.where(mask, p, big)
+    order = jnp.argsort(pm, axis=-1)
+    p_sorted = jnp.take_along_axis(pm, order, axis=-1)
+    n_valid = mask.sum(axis=-1, keepdims=True)
+    g = p.shape[-1]
+    ranks = jnp.arange(1, g + 1, dtype=p.dtype)
+    scaled = p_sorted * n_valid / ranks
+    # Running minimum from the right (monotonicity enforcement).
+    rev_cummin = jnp.flip(
+        jax_lax_cummin(jnp.flip(scaled, axis=-1)),
+        axis=-1,
+    )
+    adj_sorted = jnp.clip(rev_cummin, max=1.0)
+    # Scatter back to the original order.
+    inv = jnp.argsort(order, axis=-1)
+    adj = jnp.take_along_axis(adj_sorted, inv, axis=-1)
+    return jnp.where(mask, adj, jnp.nan)
+
+
+def jax_lax_cummin(x: jnp.ndarray) -> jnp.ndarray:
+    """Cumulative minimum along the last axis."""
+    import jax.lax
+
+    return jax.lax.cummin(x, axis=x.ndim - 1)
+
+
+def lowess(features: np.ndarray, targets: np.ndarray, frac: float = 2.0 / 3.0, it: int = 3) -> np.ndarray:
+    """Robust locally-weighted linear regression (tricube weights).
+
+    Used only by independent filtering over the 50 base-mean cutoffs
+    (reference pydeseq2/ds.py:515, pydeseq2/utils.py:1379-1443), so the input
+    is tiny and this runs as plain numpy on the host.
+    """
+    features = np.asarray(features, dtype=float)
+    targets = np.asarray(targets, dtype=float)
+    n = len(features)
+    r = int(math.ceil(frac * n))
+    # Bandwidth per point: distance to the r-th nearest neighbour.
+    dists = np.abs(features[:, None] - features[None, :])
+    h = np.maximum(np.sort(dists, axis=1)[:, r], 1e-12)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        w = np.clip(np.abs(np.nan_to_num(dists / h[None, :])), 0.0, 1.0)
+    w = (1.0 - w**3) ** 3
+    yest = np.zeros(n)
+    delta = np.ones(n)
+    for _ in range(it):
+        for i in range(n):
+            weights = delta * w[:, i]
+            b = np.array([np.sum(weights * targets), np.sum(weights * targets * features)])
+            a_mat = np.array(
+                [
+                    [np.sum(weights), np.sum(weights * features)],
+                    [np.sum(weights * features), np.sum(weights * features**2)],
+                ]
+            )
+            beta = np.linalg.lstsq(a_mat, b, rcond=None)[0]
+            yest[i] = beta[0] + beta[1] * features[i]
+        residuals = targets - yest
+        s = np.median(np.abs(residuals))
+        if s == 0:
+            delta = (np.abs(residuals) > 0).astype(float)
+        else:
+            delta = np.clip(residuals / (6.0 * s), -1, 1)
+        delta = (1.0 - delta**2) ** 2
+    return yest

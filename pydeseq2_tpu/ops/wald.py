@@ -1,0 +1,96 @@
+"""Fully-vectorized Wald tests for NB GLM contrasts.
+
+Parity target (reference, owkin/PyDESeq2): pydeseq2/utils.py:718-811
+(``wald_test``, run per gene in a joblib pool at
+pydeseq2/default_inference.py:163-198). Here the whole test - covariance
+build, SE, statistic, all four alternative-hypothesis variants and p-values -
+is one closed-form batched program: two einsums, a batched (P,P) inverse and
+elementwise tails. No per-gene loop exists at all.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import erfc
+
+
+def norm_sf(x: jnp.ndarray) -> jnp.ndarray:
+    """Standard normal survival function via erfc (device-friendly)."""
+    return 0.5 * erfc(x / jnp.sqrt(jnp.asarray(2.0, x.dtype)))
+
+
+@partial(jax.jit, static_argnames=("alt_hypothesis",))
+def wald_test_batch(
+    design_matrix: jnp.ndarray,
+    disp: jnp.ndarray,
+    lfc: jnp.ndarray,
+    mu: jnp.ndarray,
+    ridge_factor: jnp.ndarray,
+    contrast: jnp.ndarray,
+    lfc_null: float,
+    alt_hypothesis: str | None = None,
+):
+    """Batched Wald test.
+
+    Parameters
+    ----------
+    design_matrix : (N, P).
+    disp : (G,) final dispersions.
+    lfc : (G, P) natural-log coefficients.
+    mu : (G, N) fitted means.
+    ridge_factor : (P, P) diagonal regularization.
+    contrast : (P,) contrast vector.
+    lfc_null : scalar, natural-log null LFC.
+    alt_hypothesis : one of None, "greaterAbs", "lessAbs", "greater", "less".
+
+    Returns
+    -------
+    (p_values, statistics, se) : three (G,) arrays.
+
+    Parity: reference pydeseq2/utils.py:770-811 including the four
+    alternative-hypothesis branches and the lessAbs composite rule.
+    """
+    X = design_matrix
+    W = mu / (1.0 + mu * disp[:, None])  # (G, N)
+    M = jnp.einsum("gn,np,nq->gpq", W, X, X, optimize=True)  # (G, P, P)
+    Hinv = jnp.linalg.inv(M + ridge_factor[None])
+    Hc = Hinv @ contrast  # (G, P)
+    se = jnp.sqrt(jnp.einsum("gp,gpq,gq->g", Hc, M, Hc, optimize=True))
+
+    # The reference applies fmax/fmin/sign PER COEFFICIENT before taking the
+    # contrast dot product (pydeseq2/utils.py:778-796); reproduce that exactly
+    # so multi-entry contrast vectors tie out, not just one-hot ones.
+    def greater(null):
+        stat = (jnp.fmax((lfc - null) / se[:, None], 0.0) @ contrast)
+        return stat, norm_sf(stat)
+
+    def less(null):
+        stat = (jnp.fmin((lfc - null) / se[:, None], 0.0) @ contrast)
+        return stat, norm_sf(jnp.abs(stat))
+
+    if alt_hypothesis == "greater":
+        stat, pval = greater(lfc_null)
+    elif alt_hypothesis == "less":
+        stat, pval = less(lfc_null)
+    elif alt_hypothesis == "greaterAbs":
+        stat = (
+            jnp.sign(lfc) * jnp.fmax((jnp.abs(lfc) - lfc_null) / se[:, None], 0.0)
+        ) @ contrast
+        pval = 2.0 * norm_sf(jnp.abs(stat))
+    elif alt_hypothesis == "lessAbs":
+        stat_above, pval_above = greater(-abs(lfc_null))
+        stat_below, pval_below = less(abs(lfc_null))
+        stat = jnp.where(
+            jnp.abs(stat_above) < jnp.abs(stat_below), stat_above, stat_below
+        )
+        pval = jnp.maximum(pval_above, pval_below)
+    else:
+        # stat = (c^T lfc - null * sum(c)) / se, matching
+        # contrast @ (lfc - lfc_null) / se in the reference.
+        stat = (lfc @ contrast - lfc_null * contrast.sum()) / se
+        pval = 2.0 * norm_sf(jnp.abs(stat))
+
+    return pval, stat, se

@@ -1,0 +1,136 @@
+"""Host-side helpers: validation, data loading, small numpy statistics.
+
+Parity targets (reference, owkin/PyDESeq2): pydeseq2/utils.py:24-160,
+567-599, 888-911 - the non-performance-critical host utilities. The heavy
+numerical kernels live in :mod:`pydeseq2_tpu.ops`.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+from typing import Literal
+
+import numpy as np
+import pandas as pd
+
+import pydeseq2_tpu
+
+
+def load_example_data(
+    modality: Literal["raw_counts", "metadata"] = "raw_counts",
+    dataset: Literal["synthetic"] = "synthetic",
+    debug: bool = False,
+    debug_seed: int = 42,
+) -> pd.DataFrame:
+    """Load the synthetic example dataset shipped with the repo.
+
+    Parity: reference pydeseq2/utils.py:24-107.
+    """
+    assert modality in ["raw_counts", "metadata"], (
+        "The modality argument must be one of the following: "
+        "raw_counts, metadata"
+    )
+    assert dataset in ["synthetic"], (
+        "The dataset argument must be one of the following: synthetic."
+    )
+    datasets_path = Path(pydeseq2_tpu.__file__).parent.parent / "datasets"
+    path_to_data = datasets_path / dataset
+    if modality == "raw_counts":
+        df = pd.read_csv(path_to_data / "test_counts.csv", sep=",", index_col=0).T
+    else:
+        df = pd.read_csv(path_to_data / "test_metadata.csv", sep=",", index_col=0)
+    if debug:
+        df = df.sample(n=10, axis=0, random_state=debug_seed)
+        if modality == "raw_counts":
+            df = df.sample(n=100, axis="index", random_state=debug_seed)
+    return df
+
+
+def test_valid_counts(counts) -> None:
+    """Validate that counts are numeric, non-NaN, integer, non-negative.
+
+    Parity: reference pydeseq2/utils.py:110-133.
+    """
+    if isinstance(counts, pd.DataFrame):
+        if counts.isna().any().any():
+            raise ValueError("NaNs are not allowed in the count matrix.")
+        if not np.issubdtype(counts.to_numpy().dtype, np.number):
+            raise ValueError("The count matrix should only contain numbers.")
+        arr = counts.to_numpy()
+    else:
+        arr = np.asarray(counts)
+        if not np.issubdtype(arr.dtype, np.number):
+            raise ValueError("The count matrix should only contain numbers.")
+        if np.isnan(arr).any():
+            raise ValueError("NaNs are not allowed in the count matrix.")
+    if (arr % 1 != 0).any():
+        raise ValueError("The count matrix should only contain integers.")
+    if (arr < 0).any():
+        raise ValueError("The count matrix should only contain non-negative values.")
+
+
+def dispersion_trend(normed_mean, coeffs):
+    """Parametric trend evaluator a0 + a1 / mu.
+
+    Parity: reference pydeseq2/utils.py:136-160.
+    """
+    if isinstance(coeffs, pd.Series):
+        return coeffs["a0"] + coeffs["a1"] / normed_mean
+    return coeffs[0] + coeffs[1] / normed_mean
+
+
+def n_or_more_replicates(design_matrix: pd.DataFrame, min_replicates: int) -> pd.Series:
+    """Samples whose design-row combination occurs >= min_replicates times.
+
+    Parity: reference pydeseq2/utils.py:888-911.
+    """
+    n_or_more = design_matrix.value_counts() >= min_replicates
+    replaceable = n_or_more[pd.MultiIndex.from_frame(design_matrix)]
+    replaceable.index = design_matrix.index
+    return replaceable
+
+
+def trimmed_mean_numpy(x: np.ndarray, trim: float = 0.1, axis: int | None = None):
+    """Sort-based trimmed mean (host numpy path for tiny refit arrays).
+
+    Parity: reference pydeseq2/utils.py:567-599.
+    """
+    assert trim <= 0.5
+    x = np.asarray(x)
+    if axis is not None:
+        s = np.sort(x, axis=axis)
+        n = x.shape[axis]
+        ntrim = math.floor(n * trim)
+        return np.take(s, np.arange(ntrim, n - ntrim), axis).mean(axis)
+    n = len(x)
+    s = np.sort(x)
+    ntrim = math.floor(n * trim)
+    return s[ntrim : n - ntrim].mean()
+
+
+def nb_nll_numpy(counts: np.ndarray, mu: np.ndarray, alpha: np.ndarray) -> np.ndarray:
+    """Vector-alpha NB negative log-likelihood on the host.
+
+    Used only by the iterative size-factor objective, which scipy's Powell
+    optimizer calls many times on small data (reference
+    pydeseq2/dds.py:1487-1497); a device roundtrip per evaluation would
+    dominate, so this one stays numpy.
+    """
+    from scipy.special import gammaln
+
+    counts = np.asarray(counts, dtype=float)
+    mu = np.asarray(mu, dtype=float)
+    alpha = np.asarray(alpha, dtype=float)
+    alpha_neg1 = 1.0 / alpha
+    logbinom = (
+        gammaln(counts + alpha_neg1)
+        - gammaln(counts + 1.0)
+        - gammaln(alpha_neg1)
+    )
+    return (
+        alpha_neg1 * np.log(alpha)
+        - logbinom
+        + (counts + alpha_neg1) * np.log(mu + alpha_neg1)
+        - counts * np.log(mu)
+    ).sum(0)
