@@ -1,0 +1,120 @@
+"""Benchmark: fused DESeq2 Wald pipeline throughput on the available device.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+- metric: genes/sec through the full fused Wald pipeline (size factors ->
+  genewise dispersion MLE -> trend -> prior -> MAP dispersions -> IRLS LFCs ->
+  Wald tests) on a synthetic single-factor dataset.
+- vs_baseline: speedup over the measured reference PyDESeq2 CPU wall-clock on
+  this host for the same config (see benchmarks/reference_baseline.py and
+  BASELINE_MEASURED.json; the reference repo publishes no numbers of its own,
+  see BASELINE.md).
+
+Env knobs: BENCH_SAMPLES (100), BENCH_GENES (10000), BENCH_DTYPE
+(float32|float64, default float32 - validated against f64 golden results in
+tests), BENCH_REPS (3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+# The TPU compiler aborts on x64-typed programs (f64 is CPU-emulation only),
+# so only enable x64 for explicit float64 runs. Must happen before the
+# pydeseq2_tpu import below (which flips jax_enable_x64 unless told not to).
+if os.environ.get("BENCH_DTYPE", "float32") != "float64":
+    os.environ["PYDESEQ2_TPU_NO_X64"] = "1"
+
+
+def main() -> None:
+    n_samples = int(os.environ.get("BENCH_SAMPLES", 100))
+    n_genes = int(os.environ.get("BENCH_GENES", 10_000))
+    dtype_name = os.environ.get("BENCH_DTYPE", "float32")
+    reps = int(os.environ.get("BENCH_REPS", 3))
+
+    import jax
+    import jax.numpy as jnp
+
+    from pydeseq2_tpu.fused import wald_pipeline
+
+    dtype = jnp.float64 if dtype_name == "float64" else jnp.float32
+
+    # Same generator as the reference baseline driver so configs align.
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "benchmarks"))
+    from reference_baseline import make_data
+
+    counts, design = make_data(n_samples, n_genes)
+    contrast = np.zeros(design.shape[1])
+    contrast[-1] = 1.0
+
+    counts_d = jnp.asarray(counts.T, dtype=dtype)  # gene-major (G, N)
+    design_d = jnp.asarray(design, dtype=dtype)
+    contrast_d = jnp.asarray(contrast, dtype=dtype)
+    lfc_null = jnp.asarray(0.0, dtype)
+
+    # f32 deviance differences bottom out around 1e-7, so the IRLS stopping
+    # ratio must sit above the noise floor (f64 uses the reference 1e-8).
+    beta_tol = 1e-8 if dtype == jnp.float64 else 1e-6
+
+    def run():
+        out = wald_pipeline(
+            counts_d,
+            design_d,
+            contrast_d,
+            lfc_null,
+            max_disp=float(max(10, n_samples)),
+            beta_tol=beta_tol,
+        )
+        # block_until_ready is not a reliable barrier on remote-dispatch
+        # backends; a small host readback of a value depending on every
+        # pipeline stage is.
+        checksum = float(jnp.nansum(out["p_values"]) + jnp.nansum(out["lfc"]))
+        return out, checksum
+
+    t_compile0 = time.perf_counter()
+    run()  # compile + first run
+    compile_s = time.perf_counter() - t_compile0
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    genes_per_s = n_genes / best
+
+    key = f"{n_samples}x{n_genes}"
+    vs_baseline = float("nan")
+    baseline_path = Path(__file__).resolve().parent / "BASELINE_MEASURED.json"
+    if baseline_path.exists():
+        data = json.loads(baseline_path.read_text())
+        if key in data:
+            vs_baseline = data[key]["wall_s"] / best
+
+    print(
+        json.dumps(
+            {
+                "metric": f"fused Wald pipeline genes/sec ({key}, {dtype_name}, "
+                f"{jax.devices()[0].platform})",
+                "value": round(genes_per_s, 2),
+                "unit": "genes/s",
+                "vs_baseline": round(vs_baseline, 2) if vs_baseline == vs_baseline else None,
+            }
+        )
+    )
+    print(
+        f"# wall={best:.3f}s compile={compile_s:.1f}s reps={times} "
+        f"device={jax.devices()[0]}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,235 @@
+"""Fully-fused single-program DESeq2 Wald pipeline (jit end-to-end).
+
+This is the TPU "flagship model": the entire per-gene analysis - size-factor
+normalization, MoM dispersions, mu initialization, genewise dispersion MLE,
+trend + prior, MAP dispersions, IRLS LFC fitting and Wald statistics - as ONE
+jit-compiled program over a gene-major (G, N) counts tile. No host roundtrips,
+no data-dependent Python control flow: all-zero genes are masked lanes, the
+trend is the trimmed-mean curve (the reference's "mean" fit type,
+pydeseq2/dds.py:1277-1299), and every solver is the batched kernel from
+:mod:`pydeseq2_tpu.ops`.
+
+Compared with the stage-by-stage :class:`DeseqDataSet` driver (which matches
+the reference's stage semantics exactly, including the host-side parametric
+trend-exclusion loop and Cook's refitting), this fused path trades the two
+host-interleaved stages for a single XLA program - the layout used for
+benchmarking, for multi-chip sharding (shard the G axis of every gene-major
+operand over a 1-D mesh; XLA inserts psum/all-gathers for the trend and prior
+reductions automatically), and for embedding in larger JAX programs.
+
+The parametric trend variant is also available: coefficients are fitted with
+the same Fisher-scoring gamma GLM, but the gene-exclusion iteration is fixed
+at ``trend_rounds`` rounds with masking instead of dynamic drops.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pydeseq2_tpu.ops import stats as stats_ops
+from pydeseq2_tpu.ops.dispersion import alpha_mle_batch
+from pydeseq2_tpu.ops.irls import hat_diagonals, irls_beta_init, irls_core
+from pydeseq2_tpu.ops.linreg import (
+    fit_lin_mu_batch,
+    fit_moments_dispersions_batch,
+    fit_rough_dispersions_batch,
+)
+from pydeseq2_tpu.ops.trend import gamma_glm_trend_fit
+from pydeseq2_tpu.ops.wald import wald_test_batch
+
+
+def _size_factors(
+    counts: jnp.ndarray, gene_mask: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Median-of-ratios on a gene-major (G, N) tile.
+
+    Parity: reference pydeseq2/preprocessing.py:31-102. The per-gene log-mean
+    is a reduction over samples; the per-sample median is a reduction over
+    genes (the one true cross-gene collective in the whole pipeline).
+    ``gene_mask`` excludes padding lanes from the median.
+    """
+    log_counts = jnp.log(counts)  # -inf where zero
+    logmeans = log_counts.mean(axis=1)  # (G,)
+    filtered = ~jnp.isinf(logmeans) & gene_mask
+    log_ratios = jnp.where(filtered[:, None], log_counts - logmeans[:, None], jnp.nan)
+    log_medians = jnp.nanmedian(log_ratios, axis=0)  # (N,)
+    sf = jnp.exp(log_medians)
+    return sf, filtered
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "min_mu",
+        "min_disp",
+        "max_disp",
+        "beta_tol",
+        "trend_type",
+        "trend_rounds",
+        "alt_hypothesis",
+    ),
+)
+def wald_pipeline(
+    counts: jnp.ndarray,
+    design_matrix: jnp.ndarray,
+    contrast: jnp.ndarray,
+    lfc_null: jnp.ndarray,
+    gene_mask: jnp.ndarray | None = None,
+    min_mu: float = 0.5,
+    min_disp: float = 1e-8,
+    max_disp: float = 10.0,
+    beta_tol: float = 1e-8,
+    trend_type: str = "parametric",
+    trend_rounds: int = 8,
+    alt_hypothesis: str | None = None,
+):
+    """One-program DESeq2 Wald pipeline on a gene-major counts tile.
+
+    Parameters
+    ----------
+    counts : (G, N) float array
+        Raw counts, gene-major. All-zero genes become masked NaN lanes.
+    design_matrix : (N, P) replicated design.
+    contrast : (P,) contrast vector.
+    lfc_null : scalar (natural log).
+    gene_mask : (G,) bool, optional
+        False for padding lanes (added to make G shard-even). Masked lanes
+        are excluded from EVERY global reduction (size-factor median, trend
+        fit, prior variance) and return NaN statistics; without this,
+        padding would bias the cross-gene statistics.
+
+    Returns
+    -------
+    dict of per-gene results: size_factors (N,), genewise_dispersions,
+    fitted_dispersions, MAP_dispersions, dispersions, lfc (G, P), base_mean,
+    wald statistics / se / p-values, hat diagonals and mu for Cook's
+    distances.
+    """
+    G, N = counts.shape
+    P = design_matrix.shape[1]
+    dtype = counts.dtype
+    X = design_matrix
+
+    if gene_mask is None:
+        gene_mask = jnp.ones((G,), dtype=bool)
+
+    # --- normalization ----------------------------------------------------
+    sf, _ = _size_factors(counts, gene_mask)
+    normed = counts / sf[None, :]
+    base_mean = normed.mean(axis=1)
+    # Folding gene_mask in here propagates the exclusion through every
+    # downstream global reduction (trend, prior MAD), which all condition on
+    # non_zero / NaN lanes.
+    non_zero = ~(counts == 0).all(axis=1) & gene_mask
+
+    # --- MoM dispersions (reference pydeseq2/dds.py:1140-1162) ------------
+    rde = fit_rough_dispersions_batch(normed, X)
+    mde = fit_moments_dispersions_batch(normed, sf)
+    mom = jnp.clip(jnp.minimum(rde, mde), min_disp, max_disp)
+
+    # --- mu init + genewise dispersion MLE --------------------------------
+    mu_hat = fit_lin_mu_batch(counts, sf, X, min_mu)
+    genewise, _ = alpha_mle_batch(
+        counts, X, mu_hat, mom, min_disp, max_disp, cr_reg=True, prior_reg=False
+    )
+    genewise = jnp.clip(genewise, min_disp, max_disp)
+    genewise_m = jnp.where(non_zero, genewise, jnp.nan)
+
+    # --- trend ------------------------------------------------------------
+    if trend_type == "parametric":
+        covariates = 1.0 / base_mean
+        valid0 = non_zero & jnp.isfinite(covariates) & jnp.isfinite(genewise_m)
+
+        def trend_round(valid, _):
+            coeffs, preds, ok = gamma_glm_trend_fit(
+                covariates, jnp.nan_to_num(genewise_m), valid
+            )
+            ratio = genewise_m / preds
+            keep = valid & ~((ratio < 1e-4) | (ratio >= 15.0))
+            return keep, (coeffs, preds, ok)
+
+        valid, (coeffs, preds, _) = jax.lax.scan(
+            trend_round, valid0, None, length=trend_rounds
+        )
+        coeffs_last = coeffs[-1]
+        fitted = coeffs_last[0] + coeffs_last[1] / base_mean
+    else:
+        sel = genewise_m > 10.0 * min_disp
+        disp_sorted = jnp.sort(jnp.where(sel, genewise_m, jnp.inf))
+        n_sel = sel.sum()
+        # trimmed mean with cut 0.001 over the selected genes
+        ntrim = jnp.floor(n_sel * 0.001).astype(jnp.int32)
+        idx = jnp.arange(G)
+        in_range = (idx >= ntrim) & (idx < n_sel - ntrim)
+        mean_disp = jnp.where(in_range, jnp.where(jnp.isinf(disp_sorted), 0.0, disp_sorted), 0.0).sum() / jnp.maximum(
+            in_range.sum(), 1
+        )
+        fitted = jnp.full((G,), mean_disp, dtype=dtype)
+
+    fitted_m = jnp.where(non_zero, fitted, jnp.nan)
+
+    # --- dispersion prior (reference pydeseq2/dds.py:840-884) -------------
+    disp_resid = jnp.log(genewise_m) - jnp.log(fitted_m)
+    above = genewise_m >= 100.0 * min_disp
+    resid_sel = jnp.where(above & non_zero, disp_resid, jnp.nan)
+    center = jnp.nanmedian(resid_sel)
+    mad = jnp.nanmedian(jnp.abs(resid_sel - center)) / 0.6744897501960817
+    squared_logres = mad**2
+    from jax.scipy.special import polygamma
+
+    prior_disp_var = jnp.maximum(
+        squared_logres - polygamma(1, jnp.asarray((N - P) / 2.0, dtype)), 0.25
+    )
+
+    # --- MAP dispersions --------------------------------------------------
+    map_disp, _ = alpha_mle_batch(
+        counts,
+        X,
+        mu_hat,
+        jnp.nan_to_num(fitted_m, nan=0.5),
+        min_disp,
+        max_disp,
+        prior_disp_var=prior_disp_var,
+        cr_reg=True,
+        prior_reg=True,
+    )
+    map_disp = jnp.clip(map_disp, min_disp, max_disp)
+    # Shrinkage outliers keep genewise estimates
+    outlier = jnp.log(genewise_m) > jnp.log(fitted_m) + 2.0 * jnp.sqrt(squared_logres)
+    dispersions = jnp.where(outlier, genewise_m, map_disp)
+    dispersions = jnp.where(non_zero, dispersions, jnp.nan)
+
+    # --- LFC via IRLS -----------------------------------------------------
+    disp_safe = jnp.nan_to_num(dispersions, nan=0.5)
+    beta_init = irls_beta_init(counts, sf, X)
+    beta, needs_fb, converged = irls_core(
+        counts, sf, X, disp_safe, beta_init, min_mu=min_mu, beta_tol=beta_tol
+    )
+    H, mu = hat_diagonals(counts, sf, X, disp_safe, beta, min_mu=min_mu)
+
+    # --- Wald test --------------------------------------------------------
+    mu_thr = jnp.maximum(mu, min_mu)
+    ridge = 1e-6 * jnp.eye(P, dtype=dtype)
+    pvals, stats, se = wald_test_batch(
+        X, disp_safe, beta, mu, ridge, contrast, lfc_null, alt_hypothesis
+    )
+
+    nanm = lambda a: jnp.where(non_zero, a, jnp.nan)
+    return {
+        "size_factors": sf,
+        "base_mean": base_mean,
+        "genewise_dispersions": genewise_m,
+        "fitted_dispersions": fitted_m,
+        "dispersions": dispersions,
+        "prior_disp_var": prior_disp_var,
+        "lfc": jnp.where(non_zero[:, None], beta, jnp.nan),
+        "mu": mu,
+        "hat_diagonals": H,
+        "p_values": nanm(pvals),
+        "statistics": nanm(stats),
+        "se": nanm(se),
+        "irls_converged": converged,
+    }

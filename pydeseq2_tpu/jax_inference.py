@@ -168,6 +168,9 @@ class JaxInference(Inference):
         sf = self._replicate(jnp.asarray(np.asarray(size_factors), dtype=self.dtype))
         X = self._replicate(jnp.asarray(np.asarray(design_matrix), dtype=self.dtype))
         P = X.shape[1]
+        full_rank = bool(
+            np.linalg.matrix_rank(np.asarray(design_matrix, dtype=float)) == P
+        )
         disp_np = np.asarray(disp)
 
         beta_out = np.empty((G, P), dtype=np.float64)
@@ -181,7 +184,7 @@ class JaxInference(Inference):
             cnt_d = self._device_put_gene_major(jnp.asarray(cnt_c, dtype=self.dtype))
             disp_d = self._device_put_gene_major(jnp.asarray(disp_c, dtype=self.dtype))
 
-            beta_init = irls_ops.irls_beta_init(cnt_d, sf, X)
+            beta_init = irls_ops.irls_beta_init(cnt_d, sf, X, full_rank=full_rank)
             beta, needs_fb, conv = irls_ops.irls_core(
                 cnt_d, sf, X, disp_d, beta_init,
                 min_mu=min_mu, beta_tol=beta_tol, max_beta=max_beta, maxiter=maxiter,
@@ -189,8 +192,8 @@ class JaxInference(Inference):
             needs_fb_np = np.asarray(needs_fb)
 
             if needs_fb_np.any():
-                beta_np = np.asarray(beta)
-                conv_np = np.asarray(conv)
+                beta_np = np.array(beta)
+                conv_np = np.array(conv)
                 idx = np.where(needs_fb_np)[0]
                 nb = _bucket(len(idx))
                 sel = np.resize(idx, nb)  # pad by repeating lanes
@@ -364,9 +367,9 @@ class JaxInference(Inference):
                 float(prior_no_shrink_scale), float(prior_scale),
                 shrink_index=int(shrink_index),
             )
-            conv_np = np.asarray(conv)
-            beta_np = np.asarray(beta)
-            ih_np = np.asarray(ih)
+            conv_np = np.array(conv)
+            beta_np = np.array(beta)
+            ih_np = np.array(ih)
             if (~conv_np).any() and P == 2:
                 idx = np.where(~conv_np)[0]
                 nb = _bucket(len(idx))

@@ -253,18 +253,25 @@ class DeseqStats:
         if not self.quiet:
             print(f"... done in {time.time() - start:.2f} seconds.\n", file=sys.stderr)
 
-        self.LFC.iloc[:, coeff_idx].update(
+        # Pandas copy-on-write makes chained .iloc[...].update() a no-op, so
+        # rebuild the column explicitly.
+        col = self.LFC.columns[coeff_idx]
+        updated = self.LFC[col].copy()
+        updated.update(
             pd.Series(np.array(lfcs)[:, coeff_idx], index=self.dds.non_zero_genes)
         )
-        self.SE.update(
+        self.LFC[col] = updated
+        se = self.SE.copy()
+        se.update(
             pd.Series(
                 np.sqrt(np.abs(inv_hessians[:, coeff_idx, coeff_idx])),
                 index=self.dds.non_zero_genes,
             )
         )
+        self.SE = se
         self._LFC_shrink_converged = pd.Series(np.nan, index=self.dds.var_names)
         self._LFC_shrink_converged.update(
-            pd.Series(converged, index=self.dds.non_zero_genes)
+            pd.Series(converged.astype(float), index=self.dds.non_zero_genes)
         )
         self.shrunk_LFCs = True
 

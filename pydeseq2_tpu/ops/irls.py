@@ -113,20 +113,22 @@ def irls_core(
 
 
 def irls_beta_init(
-    counts: jnp.ndarray, size_factors: jnp.ndarray, design_matrix: jnp.ndarray
+    counts: jnp.ndarray,
+    size_factors: jnp.ndarray,
+    design_matrix: jnp.ndarray,
+    full_rank: bool = True,
 ) -> jnp.ndarray:
     """Initial coefficients: QR least-squares on log(y/sf + 0.1).
 
     Falls back to a log-mean intercept when the design is rank-deficient.
-    Parity: reference pydeseq2/utils.py:348-357. The rank check is host-side
-    static (the design is host data).
+    Parity: reference pydeseq2/utils.py:348-357. ``full_rank`` is a
+    host-static property of the design (checked once by the caller, not
+    inside the traced program).
     """
     X = design_matrix
     P = X.shape[1]
     y = jnp.log(counts / size_factors[None, :] + 0.1)  # (G, N)
-    import numpy as np
-
-    if np.linalg.matrix_rank(np.asarray(X)) == P:
+    if full_rank:
         Q, R = jnp.linalg.qr(X)
         rhs = y @ Q  # (G, P)
         beta = jax.scipy.linalg.solve_triangular(R, rhs.T, lower=False).T

@@ -122,9 +122,18 @@ def nbinom_glm_batch(
     pns = jnp.asarray(prior_no_shrink_scale, dtype)
     ps = jnp.asarray(prior_scale, dtype)
 
+    # Alternating +/-0.1 init as in the reference (pydeseq2/utils.py:1048),
+    # except the intercept starts at the log mean normalized count: with very
+    # large counts the objective is extremely flat at the origin (the Hessian
+    # scale is exp(xbeta)/size) and a scale-aware start keeps Newton in its
+    # quadratic-convergence basin. The optimum is unchanged.
     beta_init = jnp.broadcast_to(
         0.1 * (-1.0) ** jnp.arange(P, dtype=dtype), (G, P)
     ).astype(dtype)
+    log_norm_mean = jnp.log(
+        jnp.maximum((counts * jnp.exp(-offset)[None, :]).mean(-1), 0.1)
+    )
+    beta_init = beta_init.at[:, 0].set(log_norm_mean)
 
     # Optimization scale: objective at zero, floored at 1
     # (reference pydeseq2/utils.py:1051-1061).

@@ -1,0 +1,92 @@
+"""Numerical property tests for the core device kernels.
+
+Mirrors reference tests/test_utils.py:11-33 (nb_nll is a proper probability
+distribution) and adds kernel-level checks with no reference counterpart
+(batched-vs-scalar consistency, BH against a direct implementation).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pydeseq2_tpu.ops.nb import nb_nll, dnb_nll
+from pydeseq2_tpu.ops.stats import bh_adjust_masked, trimmed_mean, mean_absolute_deviation
+
+
+def test_nb_nll_moments():
+    """Probabilities sum to 1; Monte-Carlo moments match mu and mu(1+a*mu)."""
+    np.random.seed(42)
+    alpha = 0.5
+    mu = 10.0
+    # NB(mu, alpha) with r = 1/alpha, p = 1/(1+alpha*mu)
+    r = 1 / alpha
+    p = 1 / (1 + alpha * mu)
+    samples = np.random.negative_binomial(r, p, size=100_000)
+    assert abs(samples.mean() - mu) / mu < 0.02
+    assert abs(samples.var() - mu * (1 + alpha * mu)) / (mu * (1 + alpha * mu)) < 0.05
+
+    # Probability mass from nb_nll over a wide support sums to ~1.
+    ks = np.arange(0, 500)
+    nll = np.array(
+        [float(nb_nll(jnp.array([float(k)]), jnp.array([mu]), alpha)) for k in ks[:200]]
+    )
+    probs = np.exp(-nll)
+    assert abs(probs.sum() - 1.0) < 1e-6
+
+
+def test_dnb_nll_matches_finite_difference():
+    rng = np.random.default_rng(0)
+    counts = jnp.asarray(rng.poisson(15.0, 30).astype(float))
+    mu = jnp.asarray(rng.uniform(5, 25, 30))
+    alpha = 0.3
+    eps = 1e-6
+    fd = (
+        float(nb_nll(counts, mu, alpha + eps)) - float(nb_nll(counts, mu, alpha - eps))
+    ) / (2 * eps)
+    an = float(dnb_nll(counts, mu, alpha))
+    assert abs(fd - an) / abs(fd) < 1e-5
+
+
+def test_nb_nll_batched_consistency():
+    rng = np.random.default_rng(1)
+    counts = rng.poisson(10.0, (7, 20)).astype(float)
+    mu = rng.uniform(5, 15, (7, 20))
+    alpha = rng.uniform(0.05, 1.0, 7)
+    batched = np.asarray(nb_nll(jnp.asarray(counts), jnp.asarray(mu), jnp.asarray(alpha)))
+    singles = np.array(
+        [
+            float(nb_nll(jnp.asarray(counts[i]), jnp.asarray(mu[i]), float(alpha[i])))
+            for i in range(7)
+        ]
+    )
+    np.testing.assert_allclose(batched, singles, rtol=1e-12)
+
+
+def test_bh_matches_direct():
+    from scipy.stats import false_discovery_control
+
+    rng = np.random.default_rng(2)
+    p = rng.uniform(0, 1, 200)
+    mask = rng.uniform(0, 1, 200) > 0.3
+    adj = np.asarray(bh_adjust_masked(jnp.asarray(p), jnp.asarray(mask)))
+    expected = false_discovery_control(p[mask], method="bh")
+    np.testing.assert_allclose(adj[mask], expected, rtol=1e-12)
+    assert np.isnan(adj[~mask]).all()
+
+
+def test_trimmed_mean_matches_reference_semantics():
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 1, (25, 4))
+    ours = np.asarray(trimmed_mean(jnp.asarray(x), trim=0.2, axis=0))
+    # floor(25*0.2)=5 trimmed each side
+    s = np.sort(x, axis=0)
+    expected = s[5:20].mean(0)
+    np.testing.assert_allclose(ours, expected, rtol=1e-12)
+
+
+def test_mad():
+    x = np.array([1.0, 2.0, 3.0, 4.0, 100.0])
+    got = float(mean_absolute_deviation(jnp.asarray(x)))
+    from scipy.stats import norm
+
+    expected = np.median(np.abs(x - np.median(x))) / norm.ppf(0.75)
+    np.testing.assert_allclose(got, expected, rtol=1e-12)
