@@ -70,6 +70,7 @@ def _size_factors(
         "trend_type",
         "trend_rounds",
         "alt_hypothesis",
+        "use_pallas",
     ),
 )
 def wald_pipeline(
@@ -85,6 +86,7 @@ def wald_pipeline(
     trend_type: str = "parametric",
     trend_rounds: int = 8,
     alt_hypothesis: str | None = None,
+    use_pallas: bool = False,
 ):
     """One-program DESeq2 Wald pipeline on a gene-major counts tile.
 
@@ -133,12 +135,14 @@ def wald_pipeline(
     # --- mu init + genewise dispersion MLE --------------------------------
     mu_hat = fit_lin_mu_batch(counts, sf, X, min_mu)
     genewise, _ = alpha_mle_batch(
-        counts, X, mu_hat, mom, min_disp, max_disp, cr_reg=True, prior_reg=False
+        counts, X, mu_hat, mom, min_disp, max_disp, cr_reg=True, prior_reg=False,
+        use_pallas=use_pallas,
     )
     genewise = jnp.clip(genewise, min_disp, max_disp)
     genewise_m = jnp.where(non_zero, genewise, jnp.nan)
 
     # --- trend ------------------------------------------------------------
+    trend_coeffs = jnp.zeros((2,), dtype)
     if trend_type == "parametric":
         covariates = 1.0 / base_mean
         valid0 = non_zero & jnp.isfinite(covariates) & jnp.isfinite(genewise_m)
@@ -155,6 +159,7 @@ def wald_pipeline(
             trend_round, valid0, None, length=trend_rounds
         )
         coeffs_last = coeffs[-1]
+        trend_coeffs = coeffs_last
         fitted = coeffs_last[0] + coeffs_last[1] / base_mean
     else:
         sel = genewise_m > 10.0 * min_disp
@@ -195,6 +200,7 @@ def wald_pipeline(
         prior_disp_var=prior_disp_var,
         cr_reg=True,
         prior_reg=True,
+        use_pallas=use_pallas,
     )
     map_disp = jnp.clip(map_disp, min_disp, max_disp)
     # Shrinkage outliers keep genewise estimates
@@ -219,6 +225,8 @@ def wald_pipeline(
 
     nanm = lambda a: jnp.where(non_zero, a, jnp.nan)
     return {
+        "trend_coeffs": trend_coeffs,
+        "squared_logres": squared_logres,
         "size_factors": sf,
         "base_mean": base_mean,
         "genewise_dispersions": genewise_m,

@@ -63,12 +63,28 @@ class JaxInference(Inference):
         dtype=None,
         gene_batch_size: int | None = None,
         mesh: "jax.sharding.Mesh | None" = None,
+        use_pallas: bool | None = None,
     ):
         if dtype is None:
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self.dtype = dtype
         self.gene_batch_size = gene_batch_size
         self.mesh = mesh
+        # None = auto: Pallas dispersion scan on TPU/f32/P<=3 (single-device).
+        self.use_pallas = use_pallas
+
+    def _resolve_pallas(self, design_matrix) -> bool:
+        if self.use_pallas is not None:
+            return self.use_pallas
+        if self.mesh is not None:
+            return False
+        import os
+
+        if os.environ.get("PYDESEQ2_TPU_NO_PALLAS"):
+            return False
+        from pydeseq2_tpu.ops.pallas_kernels import pallas_alpha_supported
+
+        return pallas_alpha_supported(design_matrix, self.dtype)
 
     # ------------------------------------------------------------------ utils
     def _device_put_gene_major(self, arr: jnp.ndarray) -> jnp.ndarray:
@@ -267,11 +283,12 @@ class JaxInference(Inference):
                 X,
                 self._device_put_gene_major(jnp.asarray(mu_c, dtype=self.dtype)),
                 self._device_put_gene_major(jnp.asarray(ah_c, dtype=self.dtype)),
-                min_disp,
-                max_disp,
+                float(min_disp),
+                float(max_disp),
                 prior_disp_var=prior_disp_var,
                 cr_reg=cr_reg,
                 prior_reg=prior_reg,
+                use_pallas=self._resolve_pallas(np.asarray(design_matrix)),
             )
             n_real = stop - start
             alpha_out[start:stop] = np.asarray(alpha)[:n_real]

@@ -25,7 +25,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from pydeseq2_tpu.ops.nb import nb_nll
+from pydeseq2_tpu.ops.nb import nb_nll_centered
+from pydeseq2_tpu.ops.smalllinalg import sym_logdet
 
 
 def _alpha_objective(
@@ -45,12 +46,11 @@ def _alpha_objective(
     log_alpha: (G,). counts/mu: (G, N). Returns (G,).
     """
     alpha = jnp.exp(log_alpha)
-    obj = nb_nll(counts, mu, alpha)
+    obj = nb_nll_centered(counts, mu, alpha)
     if cr_reg:
         W = mu / (1.0 + mu * alpha[:, None])  # (G, N)
         M = jnp.einsum("gn,np,nq->gpq", W, design_matrix, design_matrix, optimize=True)
-        _, logdet = jnp.linalg.slogdet(M)
-        obj = obj + 0.5 * logdet
+        obj = obj + 0.5 * sym_logdet(M)
     if prior_reg:
         obj = obj + (log_alpha - log_alpha_hat) ** 2 / (2.0 * prior_disp_var)
     return obj
@@ -58,7 +58,15 @@ def _alpha_objective(
 
 @partial(
     jax.jit,
-    static_argnames=("cr_reg", "prior_reg", "grid_length", "newton_iters"),
+    static_argnames=(
+        "min_disp",
+        "max_disp",
+        "cr_reg",
+        "prior_reg",
+        "grid_length",
+        "newton_iters",
+        "use_pallas",
+    ),
 )
 def alpha_mle_batch(
     counts: jnp.ndarray,
@@ -70,8 +78,9 @@ def alpha_mle_batch(
     prior_disp_var: float | None = None,
     cr_reg: bool = True,
     prior_reg: bool = False,
-    grid_length: int = 100,
-    newton_iters: int = 6,
+    grid_length: int = 48,
+    newton_iters: int = 8,
+    use_pallas: bool = False,
 ):
     """Estimate per-gene dispersions by coarse->fine grid + Newton polish.
 
@@ -88,56 +97,100 @@ def alpha_mle_batch(
     converged : (G,) bool (always True except non-finite lanes; the grid is
         global so there is no optimizer failure mode to report).
     """
+    import math
+
     dtype = mu.dtype
-    lo = jnp.asarray(jnp.log(min_disp), dtype)
-    hi = jnp.asarray(jnp.log(max_disp), dtype)
+    lo_f = math.log(min_disp)
+    hi_f = math.log(max_disp)
+    lo = jnp.asarray(lo_f, dtype)
+    hi = jnp.asarray(hi_f, dtype)
     G = counts.shape[0]
     la_hat = jnp.log(jnp.clip(alpha_hat, min_disp, max_disp)).astype(dtype)
-    pdv = jnp.asarray(1.0 if prior_disp_var is None else prior_disp_var, dtype)
+    pdv_f = 1.0 if prior_disp_var is None else prior_disp_var
+    pdv = jnp.asarray(pdv_f, dtype)
 
     def obj(la):
         return _alpha_objective(
             la, counts, design_matrix, mu, la_hat, pdv, cr_reg, prior_reg
         )
 
-    def scan_grid(center, halfwidth, length):
-        """Evaluate obj on per-lane grids center +/- halfwidth, keep argmin."""
-        step = 2.0 * halfwidth / (length - 1)
+    hw0_f = (hi_f - lo_f) / 2.0
+    step1_f = 2.0 * hw0_f / (grid_length - 1)
+    step2_f = 2.0 * step1_f / (grid_length - 1)
 
-        def body(carry, k):
-            best_f, best_la = carry
-            la = jnp.clip(center - halfwidth + k * step, lo, hi)
-            f = obj(la)
-            better = f < best_f
-            return (
-                (jnp.where(better, f, best_f), jnp.where(better, la, best_la)),
-                None,
-            )
+    if use_pallas:
+        from pydeseq2_tpu.ops.pallas_kernels import alpha_grid_scan
 
-        init = (jnp.full((G,), jnp.inf, dtype=dtype), jnp.broadcast_to(center, (G,)) * 1.0)
-        (best_f, best_la), _ = jax.lax.scan(
-            body, init, jnp.arange(length, dtype=dtype)
+        center0 = jnp.full((G,), (lo_f + hi_f) / 2.0, dtype)
+        scan = lambda center, hw: alpha_grid_scan(
+            counts,
+            mu,
+            center,
+            la_hat,
+            design_matrix,
+            K=grid_length,
+            halfwidth=hw,
+            lo=lo_f,
+            hi=hi_f,
+            cr_reg=cr_reg,
+            prior_reg=prior_reg,
+            prior_disp_var=pdv,
         )
-        return best_f, best_la, step
+        f1, la1 = scan(center0, hw0_f)
+        f2, la2 = scan(la1, step1_f)
+    else:
 
-    # 1) coarse pass over the full admissible range
-    center0 = jnp.broadcast_to((lo + hi) / 2.0, (G,))
-    hw0 = (hi - lo) / 2.0
-    f1, la1, step1 = scan_grid(center0, jnp.broadcast_to(hw0, (G,)) * 1.0, grid_length)
-    # 2) fine pass around each lane's coarse argmin (one coarse cell each way)
-    f2, la2, step2 = scan_grid(la1, jnp.broadcast_to(step1, (G,)), grid_length)
+        def scan_grid(center, halfwidth, length):
+            """Evaluate obj on per-lane grids center +/- halfwidth, argmin."""
+            step = 2.0 * halfwidth / (length - 1)
+
+            def body(carry, k):
+                best_f, best_la = carry
+                la = jnp.clip(center - halfwidth + k * step, lo, hi)
+                f = obj(la)
+                better = f < best_f
+                return (
+                    (
+                        jnp.where(better, f, best_f),
+                        jnp.where(better, la, best_la),
+                    ),
+                    None,
+                )
+
+            init = (
+                jnp.full((G,), jnp.inf, dtype=dtype),
+                jnp.broadcast_to(center, (G,)) * 1.0,
+            )
+            (best_f, best_la), _ = jax.lax.scan(
+                body, init, jnp.arange(length, dtype=dtype)
+            )
+            return best_f, best_la
+
+        center0 = jnp.broadcast_to((lo + hi) / 2.0, (G,))
+        f1, la1 = scan_grid(center0, hw0_f, grid_length)
+        f2, la2 = scan_grid(la1, step1_f, grid_length)
+    step2 = jnp.asarray(step2_f, dtype)  # fine-grid spacing bounds the polish step
+    # Re-evaluate the scan winner with THIS objective so the Newton polish
+    # compares like with like (the Pallas scan's lgamma approximation can
+    # differ from XLA's by O(1) absolute on large-count genes).
+    f2 = obj(la2)
 
     # 3) Newton polish with step clipping + objective safeguard
     sum_obj = lambda la: obj(la).sum()
     grad = jax.grad(sum_obj)
     curv = jax.grad(lambda la: grad(la).sum())  # diag of Hessian (lanes indep.)
 
+    # Clip Newton steps to the COARSE spacing: wide enough to recover when
+    # the (approximate, f32) grid scan lands a few fine cells off, narrow
+    # enough not to jump basins (acceptance still requires descent).
+    clipw = jnp.asarray(step1_f, dtype)
+
     def newton_body(i, state):
         la, f_best = state
         g = grad(la)
         h = curv(la)
         raw = jnp.where(h > 0, g / h, jnp.sign(g) * step2)
-        step = jnp.clip(raw, -step2, step2)
+        step = jnp.clip(raw, -clipw, clipw)
         cand = jnp.clip(la - step, lo, hi)
         f_cand = obj(cand)
         better = f_cand < f_best

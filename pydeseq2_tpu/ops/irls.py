@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from pydeseq2_tpu.ops.nb import nb_nll
+from pydeseq2_tpu.ops.smalllinalg import sym_inv, sym_solve
 
 
 def _weighted_gram(X: jnp.ndarray, W: jnp.ndarray) -> jnp.ndarray:
@@ -79,7 +80,7 @@ def irls_core(
         z = jnp.log(mu / size_factors[None, :]) + (counts - mu) / mu
         M = _weighted_gram(X, W) + ridge
         rhs = jnp.einsum("gn,np->gp", W * z, X, optimize=True)
-        beta_hat = jnp.linalg.solve(M, rhs[..., None])[..., 0]
+        beta_hat = sym_solve(M, rhs)
 
         it = it + 1
         diverged = (jnp.abs(beta_hat) > max_beta).any(axis=1)
@@ -189,7 +190,7 @@ def newton_box_nbglm(
         H = hess_fn(beta)
         # Damped solve for robustness.
         Hd = H + 1e-8 * jnp.eye(P, dtype=dtype)[None]
-        step = jnp.linalg.solve(Hd, g[..., None])[..., 0]
+        step = sym_solve(Hd, g)
 
         def try_step(t):
             cand = jnp.clip(beta - t[:, None] * step, -max_beta, max_beta)
@@ -313,7 +314,7 @@ def hat_diagonals(
     mu_thr = jnp.maximum(size_factors[None, :] * jnp.exp(beta @ X.T), min_mu)
     W = mu_thr / (1.0 + mu_thr * disp[:, None])
     M = _weighted_gram(X, W) + 1e-6 * jnp.eye(P, dtype=beta.dtype)[None]
-    Minv = jnp.linalg.inv(M)
+    Minv = sym_inv(M)
     xmx = jnp.einsum("np,gpq,nq->gn", X, Minv, X, optimize=True)
     H = W * xmx
     mu = size_factors[None, :] * jnp.exp(beta @ X.T)

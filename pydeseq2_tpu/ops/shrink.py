@@ -17,6 +17,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from pydeseq2_tpu.ops.smalllinalg import sym_inv, sym_solve
+
 
 def nbinom_fn_batch(
     beta: jnp.ndarray,
@@ -155,7 +157,7 @@ def nbinom_glm_batch(
         g = _grad(beta, X, counts, size, offset, pns, ps, shrink_index) / cnst[:, None]
         H = _hess(beta, X, counts, size, offset, pns, ps, shrink_index) / cnst[:, None, None]
         Hd = H + 1e-10 * jnp.eye(P, dtype=dtype)[None]
-        step = jnp.linalg.solve(Hd, g[..., None])[..., 0]
+        step = sym_solve(Hd, g)
 
         def bt(j, carry):
             t, best_beta, best_f, done = carry
@@ -178,7 +180,7 @@ def nbinom_glm_batch(
     converged = jnp.isfinite(f_val) & (jnp.abs(g_final).max(axis=1) < 1e-6)
 
     H_unscaled = _hess(beta, X, counts, size, offset, pns, ps, shrink_index)
-    inv_hessian = jnp.linalg.inv(H_unscaled)
+    inv_hessian = sym_inv(H_unscaled)
     return beta, inv_hessian, converged
 
 

@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import erfc
 
+from pydeseq2_tpu.ops.smalllinalg import sym_inv
+
 
 def norm_sf(x: jnp.ndarray) -> jnp.ndarray:
     """Standard normal survival function via erfc (device-friendly)."""
@@ -56,7 +58,7 @@ def wald_test_batch(
     X = design_matrix
     W = mu / (1.0 + mu * disp[:, None])  # (G, N)
     M = jnp.einsum("gn,np,nq->gpq", W, X, X, optimize=True)  # (G, P, P)
-    Hinv = jnp.linalg.inv(M + ridge_factor[None])
+    Hinv = sym_inv(M + ridge_factor[None])
     Hc = Hinv @ contrast  # (G, P)
     se = jnp.sqrt(jnp.einsum("gp,gpq,gq->g", Hc, M, Hc, optimize=True))
 

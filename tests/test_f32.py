@@ -1,0 +1,100 @@
+"""Float32 (TPU-speed path) accuracy guarantees vs float64.
+
+The conformance path is f64 (golden tests); f32 is the TPU-native dtype used
+by bench.py. Per-gene dispersion MLEs on likelihood plateaus (alpha << 1/mu,
+where the NB likelihood is flat to below f32 resolution) are not comparable
+across precisions - these tests pin the guarantees that ARE made:
+
+- the stable/centered NB objective evaluates identically across precisions
+  (no catastrophic cancellation at small alpha),
+- end-to-end significance calls agree,
+- test statistics of significant genes agree at the few-percent level.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pydeseq2_tpu.fused import wald_pipeline
+from pydeseq2_tpu.ops.nb import nb_nll, nb_nll_centered
+
+
+def _make_data(G=768, N=60, seed=7):
+    rng = np.random.default_rng(seed)
+    base = rng.lognormal(3.0, 1.5, size=G)
+    lfc = rng.normal(0, 0.5, size=G)
+    cond = rng.integers(0, 2, N)
+    X = np.column_stack([np.ones(N), cond]).astype(float)
+    mu = base[None, :] * np.exp(cond[:, None] * lfc[None, :])
+    disp = np.clip(rng.lognormal(-2.0, 1.0, size=G), 1e-3, 5.0)
+    counts = rng.negative_binomial(1 / disp[None, :], 1 / (1 + disp[None, :] * mu))
+    return counts.T.astype(float), X
+
+
+def test_nb_nll_f32_no_cancellation():
+    """The raw NLL stays accurate in f32 down to alpha = min_disp."""
+    rng = np.random.default_rng(0)
+    y = rng.poisson(5000, (8, 100)).astype(float)
+    mu = rng.uniform(3000, 8000, (8, 100))
+    for a in [1e-8, 1e-4, 0.01, 0.5]:
+        v64 = np.asarray(nb_nll(jnp.asarray(y), jnp.asarray(mu), jnp.full((8,), a)))
+        v32 = np.asarray(
+            nb_nll(
+                jnp.asarray(y, jnp.float32),
+                jnp.asarray(mu, jnp.float32),
+                jnp.full((8,), a, jnp.float32),
+            )
+        )
+        # Ordinary f32 summation rounding allows ~1e-4; the failure mode this
+        # guards against (pre-fix) was errors of order 1e0-1e2.
+        assert np.abs(v32 / v64 - 1).max() < 1e-3, a
+
+
+def test_nb_nll_centered_absolute_accuracy():
+    """The centered objective's f32 ABSOLUTE error is small enough to resolve
+    dispersion optima (the property the dispersion solver relies on)."""
+    rng = np.random.default_rng(1)
+    y = rng.poisson(5000, (8, 100)).astype(float)
+    mu = rng.uniform(3000, 8000, (8, 100))
+    for a in [1e-8, 1e-4, 0.01, 0.5]:
+        v64 = np.asarray(
+            nb_nll_centered(jnp.asarray(y), jnp.asarray(mu), jnp.full((8,), a))
+        )
+        v32 = np.asarray(
+            nb_nll_centered(
+                jnp.asarray(y, jnp.float32),
+                jnp.asarray(mu, jnp.float32),
+                jnp.full((8,), a, jnp.float32),
+            )
+        )
+        assert np.abs(v32 - v64).max() < 0.2, a
+
+
+def test_f32_pipeline_significance_concordance():
+    counts, X = _make_data()
+    out64 = wald_pipeline(
+        jnp.asarray(counts),
+        jnp.asarray(X),
+        jnp.asarray([0.0, 1.0]),
+        jnp.asarray(0.0),
+        max_disp=100.0,
+        beta_tol=1e-8,
+    )
+    out32 = wald_pipeline(
+        jnp.asarray(counts, jnp.float32),
+        jnp.asarray(X, jnp.float32),
+        jnp.asarray([0.0, 1.0], jnp.float32),
+        jnp.asarray(0.0, jnp.float32),
+        max_disp=100.0,
+        beta_tol=1e-6,
+    )
+    pv64 = np.asarray(out64["p_values"])
+    pv32 = np.asarray(out32["p_values"])
+    st64 = np.asarray(out64["statistics"])
+    st32 = np.asarray(out32["statistics"])
+    m = np.isfinite(pv64)
+    concordance = ((pv32[m] < 0.05) == (pv64[m] < 0.05)).mean()
+    assert concordance > 0.98, concordance
+
+    sig = m & (np.abs(st64) > 2)
+    rel = np.abs(st32[sig] - st64[sig]) / np.abs(st64[sig])
+    assert np.median(rel) < 0.02, np.median(rel)
