@@ -28,6 +28,7 @@ from pydeseq2_tpu.models.dataset import DeseqDataSet  # noqa: E402
 from pydeseq2_tpu.models.stats import DeseqStats  # noqa: E402
 from pydeseq2_tpu.inference import Inference  # noqa: E402
 from pydeseq2_tpu.jax_inference import JaxInference  # noqa: E402
+from pydeseq2_tpu.default_inference import DefaultInference  # noqa: E402
 from pydeseq2_tpu.preprocessing import (  # noqa: E402
     deseq2_norm,
     deseq2_norm_fit,
@@ -42,6 +43,7 @@ __all__ = [
     "DeseqDataContainer",
     "Inference",
     "JaxInference",
+    "DefaultInference",
     "deseq2_norm",
     "deseq2_norm_fit",
     "deseq2_norm_transform",

@@ -91,6 +91,16 @@ def n_or_more_replicates(design_matrix: pd.DataFrame, min_replicates: int) -> pd
     return replaceable
 
 
+def get_num_processes(n_cpus: int | None = None) -> int:
+    """Number of processes to use (API parity; the JAX backend ignores it).
+
+    Parity: reference pydeseq2/utils.py:963-987.
+    """
+    import multiprocessing
+
+    return n_cpus if n_cpus is not None else multiprocessing.cpu_count()
+
+
 def trimmed_mean_numpy(x: np.ndarray, trim: float = 0.1, axis: int | None = None):
     """Sort-based trimmed mean (host numpy path for tiny refit arrays).
 
