@@ -41,6 +41,21 @@ from pydeseq2_tpu.ops.trend import gamma_glm_trend_fit
 from pydeseq2_tpu.ops.wald import wald_test_batch
 
 
+def _trimmed_mean_cut(values: jnp.ndarray, sel: jnp.ndarray, cut: float) -> jnp.ndarray:
+    """Trimmed mean (proportion ``cut`` off each tail) over selected lanes.
+
+    Parity: scipy.stats.trim_mean as used by reference pydeseq2/dds.py:1292.
+    """
+    G = values.shape[0]
+    sorted_vals = jnp.sort(jnp.where(sel, values, jnp.inf))
+    n_sel = sel.sum()
+    ntrim = jnp.floor(n_sel * cut).astype(jnp.int32)
+    idx = jnp.arange(G)
+    in_range = (idx >= ntrim) & (idx < n_sel - ntrim)
+    safe = jnp.where(jnp.isinf(sorted_vals), 0.0, sorted_vals)
+    return jnp.where(in_range, safe, 0.0).sum() / jnp.maximum(in_range.sum(), 1)
+
+
 def _size_factors(
     counts: jnp.ndarray, gene_mask: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -71,6 +86,7 @@ def _size_factors(
         "trend_rounds",
         "alt_hypothesis",
         "use_pallas",
+        "mu_init",
     ),
 )
 def wald_pipeline(
@@ -87,8 +103,15 @@ def wald_pipeline(
     trend_rounds: int = 8,
     alt_hypothesis: str | None = None,
     use_pallas: bool = False,
+    mu_init: str = "linear",
 ):
     """One-program DESeq2 Wald pipeline on a gene-major counts tile.
+
+    ``mu_init`` selects the dispersion-stage mean initialization: "linear"
+    (OLS, the reference's choice when design groups are 1:1 with columns)
+    or "irls" (one IRLS fit with MoM dispersions, the reference's choice
+    otherwise, e.g. continuous covariates - pydeseq2/dds.py:743-765). The
+    caller decides host-side since it is a static property of the design.
 
     Parameters
     ----------
@@ -133,11 +156,31 @@ def wald_pipeline(
     mom = jnp.clip(jnp.minimum(rde, mde), min_disp, max_disp)
 
     # --- mu init + genewise dispersion MLE --------------------------------
-    mu_hat = fit_lin_mu_batch(counts, sf, X, min_mu)
-    genewise, _ = alpha_mle_batch(
-        counts, X, mu_hat, mom, min_disp, max_disp, cr_reg=True, prior_reg=False,
-        use_pallas=use_pallas,
-    )
+    # The genewise fit also emits its coarse-grid objective values: the MAP
+    # fit below shares the same base objective (same counts/mu/design; the
+    # prior is an additive per-lane quadratic), so its coarse scan reuses the
+    # cache instead of re-evaluating the NB likelihood at all grid points.
+    if mu_init == "irls":
+        beta_mom, _, _ = irls_core(
+            counts, sf, X, mom, irls_beta_init(counts, sf, X),
+            min_mu=min_mu, beta_tol=beta_tol,
+        )
+        # UNthresholded mu, matching irls_solver's return
+        # (reference pydeseq2/utils.py:427-437).
+        mu_hat = sf[None, :] * jnp.exp(beta_mom @ X.T)
+    else:
+        mu_hat = fit_lin_mu_batch(counts, sf, X, min_mu)
+    if use_pallas:
+        genewise, _ = alpha_mle_batch(
+            counts, X, mu_hat, mom, min_disp, max_disp,
+            cr_reg=True, prior_reg=False, use_pallas=True,
+        )
+        coarse_cache = None
+    else:
+        genewise, _, coarse_cache = alpha_mle_batch(
+            counts, X, mu_hat, mom, min_disp, max_disp,
+            cr_reg=True, prior_reg=False, return_coarse=True,
+        )
     genewise = jnp.clip(genewise, min_disp, max_disp)
     genewise_m = jnp.where(non_zero, genewise, jnp.nan)
 
@@ -163,15 +206,7 @@ def wald_pipeline(
         fitted = coeffs_last[0] + coeffs_last[1] / base_mean
     else:
         sel = genewise_m > 10.0 * min_disp
-        disp_sorted = jnp.sort(jnp.where(sel, genewise_m, jnp.inf))
-        n_sel = sel.sum()
-        # trimmed mean with cut 0.001 over the selected genes
-        ntrim = jnp.floor(n_sel * 0.001).astype(jnp.int32)
-        idx = jnp.arange(G)
-        in_range = (idx >= ntrim) & (idx < n_sel - ntrim)
-        mean_disp = jnp.where(in_range, jnp.where(jnp.isinf(disp_sorted), 0.0, disp_sorted), 0.0).sum() / jnp.maximum(
-            in_range.sum(), 1
-        )
+        mean_disp = _trimmed_mean_cut(genewise_m, sel, 0.001)
         fitted = jnp.full((G,), mean_disp, dtype=dtype)
 
     fitted_m = jnp.where(non_zero, fitted, jnp.nan)
@@ -201,6 +236,7 @@ def wald_pipeline(
         cr_reg=True,
         prior_reg=True,
         use_pallas=use_pallas,
+        coarse_cache=coarse_cache,
     )
     map_disp = jnp.clip(map_disp, min_disp, max_disp)
     # Shrinkage outliers keep genewise estimates
@@ -217,7 +253,6 @@ def wald_pipeline(
     H, mu = hat_diagonals(counts, sf, X, disp_safe, beta, min_mu=min_mu)
 
     # --- Wald test --------------------------------------------------------
-    mu_thr = jnp.maximum(mu, min_mu)
     ridge = 1e-6 * jnp.eye(P, dtype=dtype)
     pvals, stats, se = wald_test_batch(
         X, disp_safe, beta, mu, ridge, contrast, lfc_null, alt_hypothesis
@@ -241,3 +276,106 @@ def wald_pipeline(
         "se": nanm(se),
         "irls_converged": converged,
     }
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "min_mu",
+        "min_disp",
+        "max_disp",
+        "trend_type",
+        "trend_rounds",
+        "use_pallas",
+    ),
+)
+def vst_pipeline(
+    counts: jnp.ndarray,
+    gene_mask: jnp.ndarray | None = None,
+    min_mu: float = 0.5,
+    min_disp: float = 1e-8,
+    max_disp: float = 10.0,
+    trend_type: str = "parametric",
+    trend_rounds: int = 8,
+    use_pallas: bool = False,
+):
+    """One-program blind variance-stabilizing transform on a (G, N) tile.
+
+    The fused analog of ``DeseqDataSet.vst()`` with ``use_design=False``
+    (reference pydeseq2/dds.py:349-514): size factors, intercept-design
+    genewise dispersion MLE, parametric (or mean) trend, closed-form
+    transform — all inside one jit program, suitable for feeding VST features
+    straight into a downstream JAX model without leaving the device.
+
+    Returns a dict with ``vst_counts`` (G, N), ``size_factors`` (N,),
+    ``genewise_dispersions`` (G,), and trend parameters (``trend_coeffs``
+    for parametric, ``mean_disp`` for mean).
+    """
+    G, N = counts.shape
+    dtype = counts.dtype
+    if gene_mask is None:
+        gene_mask = jnp.ones((G,), dtype=bool)
+
+    X = jnp.ones((N, 1), dtype=dtype)  # blind: intercept-only design
+
+    sf, _ = _size_factors(counts, gene_mask)
+    normed = counts / sf[None, :]
+    base_mean = normed.mean(axis=1)
+    non_zero = ~(counts == 0).all(axis=1) & gene_mask
+
+    rde = fit_rough_dispersions_batch(normed, X)
+    mde = fit_moments_dispersions_batch(normed, sf)
+    mom = jnp.clip(jnp.minimum(rde, mde), min_disp, max_disp)
+
+    mu_hat = fit_lin_mu_batch(counts, sf, X, min_mu)
+    genewise, _ = alpha_mle_batch(
+        counts, X, mu_hat, mom, min_disp, max_disp, cr_reg=True, prior_reg=False,
+        use_pallas=use_pallas,
+    )
+    genewise = jnp.clip(genewise, min_disp, max_disp)
+    genewise_m = jnp.where(non_zero, genewise, jnp.nan)
+
+    out = {
+        "size_factors": sf,
+        "base_mean": base_mean,
+        "genewise_dispersions": genewise_m,
+    }
+
+    if trend_type == "parametric":
+        covariates = 1.0 / base_mean
+        valid0 = non_zero & jnp.isfinite(covariates) & jnp.isfinite(genewise_m)
+
+        def trend_round(valid, _):
+            coeffs, preds, ok = gamma_glm_trend_fit(
+                covariates, jnp.nan_to_num(genewise_m), valid
+            )
+            ratio = genewise_m / preds
+            keep = valid & ~((ratio < 1e-4) | (ratio >= 15.0))
+            return keep, (coeffs, preds, ok)
+
+        _, (coeffs, _, _) = jax.lax.scan(trend_round, valid0, None, length=trend_rounds)
+        a0, a1 = coeffs[-1][0], coeffs[-1][1]
+        # Closed form, reference pydeseq2/dds.py:493-501.
+        vst = jnp.log2(
+            (
+                1.0
+                + a1
+                + 2.0 * a0 * normed
+                + 2.0 * jnp.sqrt(a0 * normed * (1.0 + a1 + a0 * normed))
+            )
+            / (4.0 * a0)
+        )
+        out["trend_coeffs"] = coeffs[-1]
+    else:
+        sel = genewise_m > 10.0 * min_disp
+        mean_disp = _trimmed_mean_cut(genewise_m, sel, 0.001)
+        # arcsinh form, reference pydeseq2/dds.py:502-510.
+        vst = (
+            2.0 * jnp.arcsinh(jnp.sqrt(mean_disp * normed))
+            - jnp.log(mean_disp)
+            - jnp.log(4.0)
+        ) / jnp.log(2.0)
+        out["mean_disp"] = mean_disp
+
+    out["vst_counts"] = jnp.where(gene_mask[:, None], vst, jnp.nan)
+    return out

@@ -80,7 +80,11 @@ class JaxInference(Inference):
             return False
         import os
 
-        if os.environ.get("PYDESEQ2_TPU_NO_PALLAS"):
+        # Opt-in only: since the XLA scan gained the static branch split and
+        # hoisted-constant objective, it outperforms the Pallas kernel
+        # (155 ms vs 186 ms full-pipeline at 100x60k on v5e); the kernel is
+        # kept for HBM-bound regimes (large N) where VMEM residency wins.
+        if not os.environ.get("PYDESEQ2_TPU_PALLAS"):
             return False
         from pydeseq2_tpu.ops.pallas_kernels import pallas_alpha_supported
 

@@ -25,7 +25,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from pydeseq2_tpu.ops.nb import nb_nll_centered
+from pydeseq2_tpu.ops.nb import _R_SWITCH, nb_nll_centered
 from pydeseq2_tpu.ops.smalllinalg import sym_logdet
 
 
@@ -38,6 +38,7 @@ def _alpha_objective(
     prior_disp_var,
     cr_reg: bool,
     prior_reg: bool,
+    branch: str = "auto",
 ) -> jnp.ndarray:
     """Per-lane objective: nb_nll + Cox-Reid + optional log-normal prior.
 
@@ -46,7 +47,7 @@ def _alpha_objective(
     log_alpha: (G,). counts/mu: (G, N). Returns (G,).
     """
     alpha = jnp.exp(log_alpha)
-    obj = nb_nll_centered(counts, mu, alpha)
+    obj = nb_nll_centered(counts, mu, alpha, branch=branch)
     if cr_reg:
         W = mu / (1.0 + mu * alpha[:, None])  # (G, N)
         M = jnp.einsum("gn,np,nq->gpq", W, design_matrix, design_matrix, optimize=True)
@@ -66,6 +67,7 @@ def _alpha_objective(
         "grid_length",
         "newton_iters",
         "use_pallas",
+        "return_coarse",
     ),
 )
 def alpha_mle_batch(
@@ -79,8 +81,10 @@ def alpha_mle_batch(
     cr_reg: bool = True,
     prior_reg: bool = False,
     grid_length: int = 48,
-    newton_iters: int = 8,
+    newton_iters: int = 4,
     use_pallas: bool = False,
+    return_coarse: bool = False,
+    coarse_cache: jnp.ndarray | None = None,
 ):
     """Estimate per-gene dispersions by coarse->fine grid + Newton polish.
 
@@ -96,6 +100,12 @@ def alpha_mle_batch(
     alpha : (G,) fitted dispersions, in [min_disp, max_disp].
     converged : (G,) bool (always True except non-finite lanes; the grid is
         global so there is no optimizer failure mode to report).
+    coarse : (grid_length, G), only when ``return_coarse`` - the BASE
+        objective (nll + Cox-Reid, no prior) at the static coarse grid
+        points la_k = log(min_disp) + k*step. A later call on the SAME
+        counts/mu/design (e.g. the MAP fit, whose objective only adds a
+        per-lane quadratic prior) can pass it as ``coarse_cache`` to skip
+        its coarse scan entirely.
     """
     import math
 
@@ -109,16 +119,19 @@ def alpha_mle_batch(
     pdv_f = 1.0 if prior_disp_var is None else prior_disp_var
     pdv = jnp.asarray(pdv_f, dtype)
 
-    def obj(la):
+    def obj(la, branch="auto"):
         return _alpha_objective(
-            la, counts, design_matrix, mu, la_hat, pdv, cr_reg, prior_reg
+            la, counts, design_matrix, mu, la_hat, pdv, cr_reg, prior_reg,
+            branch=branch,
         )
 
     hw0_f = (hi_f - lo_f) / 2.0
     step1_f = 2.0 * hw0_f / (grid_length - 1)
     step2_f = 2.0 * step1_f / (grid_length - 1)
 
+    coarse_vals = None
     if use_pallas:
+        assert coarse_cache is None and not return_coarse
         from pydeseq2_tpu.ops.pallas_kernels import alpha_grid_scan
 
         center0 = jnp.full((G,), (lo_f + hi_f) / 2.0, dtype)
@@ -166,8 +179,82 @@ def alpha_mle_batch(
             )
             return best_f, best_la
 
-        center0 = jnp.broadcast_to((lo + hi) / 2.0, (G,))
-        f1, la1 = scan_grid(center0, hw0_f, grid_length)
+        def scan_coarse():
+            """Coarse scan over the static grid la_k = lo + k*step1.
+
+            Every lane shares the same log-alpha at each step, so the
+            nb_nll_centered branch (stable for r = e^{-la} >= 8, i.e.
+            la <= -log 8; plain otherwise) is known STATICALLY per step -
+            each step evaluates a single branch instead of both, halving
+            the transcendental work of the scan. Per-step values are also
+            emitted so callers can cache them (see ``return_coarse``).
+            """
+            la_threshold = -math.log(_R_SWITCH)
+            k_split = int(math.floor((la_threshold - lo_f) / step1_f)) + 1
+            k_split = max(0, min(grid_length, k_split))
+
+            def make_body(branch):
+                def body(carry, k):
+                    best_f, best_la = carry
+                    la = jnp.full((G,), lo + k * jnp.asarray(step1_f, dtype), dtype)
+                    f = obj(la, branch=branch)
+                    better = f < best_f
+                    return (
+                        (
+                            jnp.where(better, f, best_f),
+                            jnp.where(better, la, best_la),
+                        ),
+                        f,
+                    )
+
+                return body
+
+            carry = (
+                jnp.full((G,), jnp.inf, dtype=dtype),
+                jnp.full((G,), (lo_f + hi_f) / 2.0, dtype=dtype),
+            )
+            ys = []
+            if k_split > 0:
+                carry, y = jax.lax.scan(
+                    make_body("stable"), carry, jnp.arange(k_split, dtype=dtype)
+                )
+                ys.append(y)
+            if k_split < grid_length:
+                carry, y = jax.lax.scan(
+                    make_body("plain"),
+                    carry,
+                    jnp.arange(k_split, grid_length, dtype=dtype),
+                )
+                ys.append(y)
+            return carry, jnp.concatenate(ys, axis=0)  # (K, G)
+
+        if coarse_cache is not None:
+            # The base objective at the static grid points was already
+            # computed by an earlier call on the same counts/mu; the only
+            # objective difference is the additive per-lane prior, so the
+            # coarse argmin is a pure elementwise pass over (K, G).
+            la_grid = lo + jnp.arange(grid_length, dtype=dtype) * jnp.asarray(
+                step1_f, dtype
+            )
+            f_all = coarse_cache
+            if prior_reg:
+                f_all = f_all + (la_grid[:, None] - la_hat[None, :]) ** 2 / (
+                    2.0 * pdv
+                )
+            la1 = la_grid[jnp.argmin(f_all, axis=0)]
+        else:
+            (f1, la1), coarse_emitted = scan_coarse()
+            if return_coarse:
+                if prior_reg:
+                    # Strip the prior so the cache holds the shared BASE.
+                    la_grid = lo + jnp.arange(
+                        grid_length, dtype=dtype
+                    ) * jnp.asarray(step1_f, dtype)
+                    coarse_vals = coarse_emitted - (
+                        la_grid[:, None] - la_hat[None, :]
+                    ) ** 2 / (2.0 * pdv)
+                else:
+                    coarse_vals = coarse_emitted
         f2, la2 = scan_grid(la1, step1_f, grid_length)
     step2 = jnp.asarray(step2_f, dtype)  # fine-grid spacing bounds the polish step
     # Re-evaluate the scan winner with THIS objective so the Newton polish
@@ -200,4 +287,6 @@ def alpha_mle_batch(
 
     alpha = jnp.exp(la_fit)
     converged = jnp.isfinite(f_fit)
+    if return_coarse:
+        return alpha, converged, coarse_vals
     return alpha, converged

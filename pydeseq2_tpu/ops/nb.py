@@ -91,7 +91,9 @@ def nb_nll(counts: jnp.ndarray, mu: jnp.ndarray, alpha) -> jnp.ndarray:
     return per.sum(-1)
 
 
-def nb_nll_centered(counts: jnp.ndarray, mu: jnp.ndarray, alpha) -> jnp.ndarray:
+def nb_nll_centered(
+    counts: jnp.ndarray, mu: jnp.ndarray, alpha, branch: str = "auto"
+) -> jnp.ndarray:
     r"""``nb_nll`` minus its alpha-independent Poisson-limit constant.
 
     The NB NLL is dominated by a Poisson bulk ``mu - y log mu + lgamma(y+1)``
@@ -106,38 +108,52 @@ def nb_nll_centered(counts: jnp.ndarray, mu: jnp.ndarray, alpha) -> jnp.ndarray:
     every term of which is O(y^2/r) and f32-exact in the absolute sense.
     The argmin over alpha is unchanged, so this is the objective used by the
     dispersion solvers (XLA and Pallas paths).
+
+    ``branch`` selects which form to evaluate: ``"auto"`` computes both and
+    selects per element (general case); ``"plain"``/``"stable"`` evaluate a
+    single branch, for callers that statically know every lane satisfies
+    r < 8 resp. r >= 8 (the dispersion coarse grid scan, whose per-step
+    log-alpha is a static constant shared by all lanes) - this halves the
+    transcendental work of those steps.
     """
     counts = jnp.asarray(counts)
     mu = jnp.asarray(mu)
     alpha = jnp.asarray(alpha)
     r = 1.0 / alpha[..., None]
 
-    # r < 8 branch: plain minus Poisson (moderate magnitudes, mild
-    # cancellation; y log mu and lgamma(y+1) cancel analytically).
-    plain = (
-        -r * jnp.log(r)
-        - gammaln(counts + r)
-        + gammaln(r)
-        + (counts + r) * jnp.log(mu + r)
-        - mu
-    )
+    def plain_branch():
+        # r < 8: plain minus Poisson (moderate magnitudes, mild
+        # cancellation; y log mu and lgamma(y+1) cancel analytically).
+        return (
+            -r * jnp.log(r)
+            - gammaln(counts + r)
+            + gammaln(r)
+            + (counts + r) * jnp.log(mu + r)
+            - mu
+        )
 
-    # r >= 8 branch: fully cancellation-free.
-    u = counts / r
-    v = mu / r
-    l1p_u = jnp.log1p(u)
-    l1p_v = jnp.log1p(v)
-    yr = counts + r
-    stable = (
-        -r * (l1p_u - u)
-        - (counts - 0.5) * l1p_u
-        + r * (l1p_v - v)
-        + counts * l1p_v
-        + counts / (12.0 * r * yr)
-        + (1.0 / yr**3 - 1.0 / r**3) / 360.0
-    )
+    def stable_branch():
+        # r >= 8: fully cancellation-free.
+        u = counts / r
+        v = mu / r
+        l1p_u = jnp.log1p(u)
+        l1p_v = jnp.log1p(v)
+        yr = counts + r
+        return (
+            -r * (l1p_u - u)
+            - (counts - 0.5) * l1p_u
+            + r * (l1p_v - v)
+            + counts * l1p_v
+            + counts / (12.0 * r * yr)
+            + (1.0 / yr**3 - 1.0 / r**3) / 360.0
+        )
 
-    per = jnp.where(r < _R_SWITCH, plain, stable)
+    if branch == "plain":
+        per = plain_branch()
+    elif branch == "stable":
+        per = stable_branch()
+    else:
+        per = jnp.where(r < _R_SWITCH, plain_branch(), stable_branch())
     return per.sum(-1)
 
 

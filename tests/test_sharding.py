@@ -140,3 +140,51 @@ def test_fused_pipeline_matches_model_layer(counts_df, metadata):
         dds.varm["LFC"].values[:, 1],
         rtol=1e-4,
     )
+
+
+def test_fused_pipeline_multifactor_irls_mu_init(counts_df, metadata):
+    """Multifactor design: the fused path with mu_init='irls' (the stage
+    driver's choice when design groups are not 1:1 with columns, reference
+    pydeseq2/dds.py:743-765) reproduces the stage-by-stage driver."""
+    from pydeseq2_tpu import DeseqDataSet, DeseqStats
+
+    dds = DeseqDataSet(
+        counts=counts_df,
+        metadata=metadata,
+        design="~group + condition",
+        refit_cooks=False,
+        quiet=True,
+    )
+    dds.deseq2()
+    ds = DeseqStats(
+        dds,
+        contrast=["condition", "B", "A"],
+        cooks_filter=False,
+        independent_filter=False,
+        quiet=True,
+    )
+    ds.summary()
+
+    contrast = dds.contrast(
+        column="condition", baseline="A", group_to_compare="B"
+    )
+    out = wald_pipeline(
+        jnp.asarray(counts_df.values.T.astype(float)),
+        jnp.asarray(dds.obsm["design_matrix"].values),
+        jnp.asarray(np.asarray(contrast, float)),
+        jnp.asarray(0.0),
+        max_disp=float(max(10, counts_df.shape[0])),
+        trend_type="parametric",
+        mu_init="irls",
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["p_values"]), ds.p_values.values, rtol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["lfc"]), dds.varm["LFC"].values, rtol=5e-3, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["genewise_dispersions"]),
+        dds.var["genewise_dispersions"].values,
+        rtol=5e-3,
+    )

@@ -106,3 +106,41 @@ def test_vst_transform_no_fit(counts_df, metadata):
     )
     with pytest.raises(RuntimeError):
         train_dds.vst_transform(counts_df[0:25].to_numpy())
+
+
+def test_fused_vst_matches_stagewise(counts_df, metadata, tol=0.02):
+    """The one-program vst_pipeline reproduces dds.vst(use_design=False)."""
+    import jax.numpy as jnp
+
+    from pydeseq2_tpu.fused import vst_pipeline
+
+    r_vst = pd.read_csv(data_path("single_factor", "r_vst.csv"), index_col=0).T
+
+    dds = DeseqDataSet(
+        counts=counts_df, metadata=metadata, design="~condition", quiet=True
+    )
+    dds.vst(use_design=False)
+
+    out = vst_pipeline(jnp.asarray(counts_df.to_numpy().T, jnp.float64))
+    fused_vst = np.asarray(out["vst_counts"]).T
+
+    # vs the stage-by-stage driver
+    assert np.allclose(fused_vst, dds.layers["vst_counts"], rtol=1e-4, atol=1e-6)
+    # vs the R golden fixture
+    assert (np.abs(r_vst - fused_vst) / r_vst).max().max() < tol
+    assert np.allclose(
+        np.asarray(out["size_factors"]), dds.obs["size_factors"].values, rtol=1e-6
+    )
+
+
+def test_fused_vst_mean_trend(counts_df, metadata, tol=0.02):
+    import jax.numpy as jnp
+
+    from pydeseq2_tpu.fused import vst_pipeline
+
+    r_vst = pd.read_csv(data_path("single_factor", "r_mean_vst.csv"), index_col=0).T
+    out = vst_pipeline(
+        jnp.asarray(counts_df.to_numpy().T, jnp.float64), trend_type="mean"
+    )
+    fused_vst = np.asarray(out["vst_counts"]).T
+    assert (np.abs(r_vst - fused_vst) / r_vst).max().max() < tol
