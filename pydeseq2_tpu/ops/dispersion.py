@@ -65,6 +65,7 @@ def _alpha_objective(
         "cr_reg",
         "prior_reg",
         "grid_length",
+        "fine_length",
         "newton_iters",
         "use_pallas",
         "return_coarse",
@@ -81,6 +82,7 @@ def alpha_mle_batch(
     cr_reg: bool = True,
     prior_reg: bool = False,
     grid_length: int = 48,
+    fine_length: int = 32,
     newton_iters: int = 4,
     use_pallas: bool = False,
     return_coarse: bool = False,
@@ -127,7 +129,11 @@ def alpha_mle_batch(
 
     hw0_f = (hi_f - lo_f) / 2.0
     step1_f = 2.0 * hw0_f / (grid_length - 1)
-    step2_f = 2.0 * step1_f / (grid_length - 1)
+    # Fine scan: same halfwidth (one coarse step), fewer points - the basin
+    # is already located, the Newton polish below converges quadratically
+    # from anywhere within a fine step, so fine resolution only needs to
+    # keep the polish inside its clip radius.
+    step2_f = 2.0 * step1_f / (fine_length - 1)
 
     coarse_vals = None
     if use_pallas:
@@ -255,7 +261,7 @@ def alpha_mle_batch(
                     ) ** 2 / (2.0 * pdv)
                 else:
                     coarse_vals = coarse_emitted
-        f2, la2 = scan_grid(la1, step1_f, grid_length)
+        f2, la2 = scan_grid(la1, step1_f, fine_length)
     step2 = jnp.asarray(step2_f, dtype)  # fine-grid spacing bounds the polish step
     # Re-evaluate the scan winner with THIS objective so the Newton polish
     # compares like with like (the Pallas scan's lgamma approximation can

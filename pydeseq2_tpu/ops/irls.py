@@ -70,9 +70,6 @@ def irls_core(
     dtype = beta_init.dtype
     ridge = (1e-6 * jnp.eye(P, dtype=dtype))[None]
 
-    def make_mu(beta):
-        return jnp.maximum(size_factors[None, :] * jnp.exp(beta @ X.T), min_mu)
-
     # The deviance -2*nb_nll splits into a (y, alpha)-only part (all the
     # lgamma terms - the expensive transcendentals) and a mu-dependent part
     # that is identical for both branches of nb_nll:
@@ -84,18 +81,32 @@ def irls_core(
     # const cancels exactly, so this is not an approximation.
     r = 1.0 / disp[:, None]
     y_plus_r = counts + r
+    log_sf = jnp.log(size_factors)[None, :]  # (1, N), loop-invariant
+    log_min_mu = jnp.log(jnp.asarray(min_mu, dtype))
 
-    def mu_part(mu):
-        ylogmu = jnp.where(counts > 0, counts * jnp.log(mu), 0.0)
+    def make_mu_xb(beta):
+        """mu = max(sf e^{Xb}, min_mu) plus log(mu) and log(mu/sf), the
+        latter two derived from the linear predictor instead of device logs
+        (only the min_mu-clamped entries need the precomputed constants)."""
+        xb = beta @ X.T
+        raw = size_factors[None, :] * jnp.exp(xb)
+        clamped = raw < min_mu
+        mu = jnp.where(clamped, min_mu, raw)
+        log_mu = jnp.where(clamped, log_min_mu, xb + log_sf)
+        log_mu_sf = jnp.where(clamped, log_min_mu - log_sf, xb)
+        return mu, log_mu, log_mu_sf
+
+    def mu_part(mu, log_mu):
+        ylogmu = jnp.where(counts > 0, counts * log_mu, 0.0)
         return (y_plus_r * jnp.log1p(mu / r) - ylogmu).sum(-1)
 
-    mu0 = make_mu(beta_init)
-    nll_const = nb_nll(counts, mu0, disp) - mu_part(mu0)
+    mu0, log_mu0, log_mu_sf0 = make_mu_xb(beta_init)
+    nll_const = nb_nll(counts, mu0, disp) - mu_part(mu0, log_mu0)
 
     def body(state):
-        beta, mu, dev, active, needs_fb, it = state
+        beta, mu, log_mu_sf, dev, active, needs_fb, it = state
         W = mu / (1.0 + mu * disp[:, None])
-        z = jnp.log(mu / size_factors[None, :]) + (counts - mu) / mu
+        z = log_mu_sf + (counts - mu) / mu
         M = _weighted_gram(X, W) + ridge
         rhs = jnp.einsum("gn,np->gp", W * z, X, optimize=True)
         beta_hat = sym_solve(M, rhs)
@@ -107,25 +118,25 @@ def irls_core(
         step_ok = active & ~new_fb
 
         new_beta = jnp.where(step_ok[:, None], beta_hat, beta)
-        new_mu = make_mu(new_beta)
-        new_dev = -2.0 * (nll_const + mu_part(new_mu))
+        new_mu, new_log_mu, new_log_mu_sf = make_mu_xb(new_beta)
+        new_dev = -2.0 * (nll_const + mu_part(new_mu, new_log_mu))
         dev_ratio = jnp.abs(new_dev - dev) / (jnp.abs(new_dev) + 0.1)
         still_active = step_ok & (dev_ratio > beta_tol)
 
         dev = jnp.where(step_ok, new_dev, dev)
-        return new_beta, new_mu, dev, still_active, needs_fb | new_fb, it
+        return new_beta, new_mu, new_log_mu_sf, dev, still_active, needs_fb | new_fb, it
 
     def cond(state):
-        _, _, _, active, _, it = state
+        _, _, _, _, active, _, it = state
         return active.any() & (it < maxiter)
 
     dev0 = jnp.full((G,), 1000.0, dtype=dtype)
     active0 = jnp.ones((G,), dtype=bool)
     fb0 = jnp.zeros((G,), dtype=bool)
-    beta, _, dev, active, needs_fb, it = jax.lax.while_loop(
+    beta, _, _, dev, active, needs_fb, it = jax.lax.while_loop(
         cond,
         body,
-        (beta_init, mu0, dev0, active0, fb0, jnp.array(0, dtype=jnp.int32)),
+        (beta_init, mu0, log_mu_sf0, dev0, active0, fb0, jnp.array(0, dtype=jnp.int32)),
     )
     # Lanes still active after the loop ran out hit maxiter.
     needs_fb = needs_fb | active
