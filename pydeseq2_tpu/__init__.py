@@ -23,6 +23,7 @@ import jax
 if not os.environ.get("PYDESEQ2_TPU_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
+from pydeseq2_tpu.api import run_deseq2  # noqa: E402
 from pydeseq2_tpu.container import DeseqDataContainer  # noqa: E402
 from pydeseq2_tpu.models.dataset import DeseqDataSet  # noqa: E402
 from pydeseq2_tpu.models.stats import DeseqStats  # noqa: E402
@@ -38,6 +39,7 @@ from pydeseq2_tpu.preprocessing import (  # noqa: E402
 __version__ = "0.1.0"
 
 __all__ = [
+    "run_deseq2",
     "DeseqDataSet",
     "DeseqStats",
     "DeseqDataContainer",

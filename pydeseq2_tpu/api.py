@@ -1,0 +1,196 @@
+"""One-call TPU fast path: counts -> DESeq2 results DataFrame.
+
+`run_deseq2` is the production entry point: host-side validation, design
+materialization and static prep, then the ENTIRE analysis — normalization,
+dispersion estimation (genewise -> trend -> prior -> MAP), IRLS LFCs, Wald
+tests, Cook's outlier masking and independent filtering — as ONE jit-compiled
+XLA program (:func:`pydeseq2_tpu.fused.summary_pipeline`), optionally sharded
+over a multi-chip gene mesh.
+
+Equivalent reference workflow (owkin/PyDESeq2): `DeseqDataSet(...).deseq2()`
+followed by `DeseqStats(...).summary()` (reference pydeseq2/dds.py:516-562,
+pydeseq2/ds.py:223-301) with ``refit_cooks=False``; use the staged
+:class:`~pydeseq2_tpu.DeseqDataSet` driver when Cook's outlier *refitting*
+is needed (it requires data-dependent re-runs that do not belong in one
+compiled program).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["run_deseq2"]
+
+
+def run_deseq2(
+    counts,
+    metadata=None,
+    design: str = "~condition",
+    contrast=None,
+    *,
+    alpha: float = 0.05,
+    cooks_filter: bool = True,
+    independent_filter: bool = True,
+    lfc_null: float = 0.0,
+    alt_hypothesis: str | None = None,
+    fit_type: str = "parametric",
+    min_mu: float = 0.5,
+    min_disp: float = 1e-8,
+    max_disp: float | None = None,
+    beta_tol: float | None = None,
+    dtype=None,
+    mesh=None,
+    return_state: bool = False,
+    quiet: bool = True,
+):
+    """Full DESeq2 Wald analysis in one call on TPU.
+
+    Parameters
+    ----------
+    counts : pandas.DataFrame
+        Raw counts, samples x genes (the reference's orientation,
+        pydeseq2/dds.py:110-117).
+    metadata : pandas.DataFrame
+        Sample annotations (index aligned with ``counts``).
+    design : str or pandas.DataFrame
+        Wilkinson formula (e.g. ``"~group + condition"``) or a ready design
+        matrix.
+    contrast : list[str] | np.ndarray
+        ``["variable", "tested_level", "ref_level"]`` (reference
+        pydeseq2/ds.py:91-103) or an explicit (P,) contrast vector.
+    lfc_null : float
+        Null log2 fold change (converted to natural log internally, matching
+        reference pydeseq2/ds.py:301).
+    dtype : jnp dtype, optional
+        float32 for TPU speed (default when x64 is off) or float64.
+    mesh : jax.sharding.Mesh, optional
+        1-D ``("genes",)`` mesh; the gene axis is padded shard-even and
+        sharded, the design replicated. See
+        :func:`pydeseq2_tpu.parallel.mesh.make_gene_mesh`.
+    return_state : bool
+        Also return the raw device output dict (dispersions, LFC matrix,
+        Cook's distances, ...).
+
+    Returns
+    -------
+    pandas.DataFrame with baseMean, log2FoldChange, lfcSE, stat, pvalue,
+    padj (the reference's ``results_df``, pydeseq2/ds.py:268-286) — plus the
+    state dict when ``return_state``.
+    """
+    import jax
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from pydeseq2_tpu.fused import summary_host_inputs, summary_pipeline
+    from pydeseq2_tpu.models.dataset import DeseqDataSet
+    from pydeseq2_tpu.parallel.mesh import pad_to_multiple
+
+    # Host-only: validation + design materialization (no device compute).
+    dds = DeseqDataSet(
+        counts=counts,
+        metadata=metadata,
+        design=design,
+        refit_cooks=False,
+        min_mu=min_mu,
+        min_disp=min_disp,
+        quiet=quiet,
+    )
+    design_df = dds.obsm["design_matrix"]
+    n_samples, n_vars = design_df.shape
+
+    if contrast is None:
+        raise ValueError("The 'contrast' argument must be provided.")
+    if isinstance(contrast, np.ndarray):
+        if contrast.shape[0] != n_vars:
+            raise ValueError(
+                "The contrast vector must have the same length as the design "
+                "matrix."
+            )
+        contrast_vector = np.asarray(contrast, float)
+    else:
+        factor, alternative, ref = contrast
+        contrast_vector = np.asarray(
+            dds.contrast(column=factor, baseline=ref, group_to_compare=alternative),
+            float,
+        )
+
+    if lfc_null < 0 and alt_hypothesis in {"greaterAbs", "lessAbs"}:
+        raise ValueError(
+            f"The alternative hypothesis being {alt_hypothesis}, please "
+            f"provide a positive lfc_null value (got {lfc_null})."
+        )
+
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if beta_tol is None:
+        # f32 deviance differences bottom out near 1e-7; keep the stopping
+        # ratio above the noise floor (f64 uses the reference 1e-8,
+        # pydeseq2/dds.py:221).
+        beta_tol = 1e-8 if dtype == jnp.float64 else 1e-6
+    if max_disp is None:
+        max_disp = float(max(10, n_samples))
+
+    # mu init: linear regression when design groups <-> columns are 1:1,
+    # else one IRLS pass (reference pydeseq2/dds.py:743-765).
+    mu_init = (
+        "linear" if len(design_df.value_counts()) == n_vars else "irls"
+    )
+
+    host = summary_host_inputs(design_df)
+
+    counts_gm = np.asarray(dds.X, float).T  # gene-major (G, N)
+    G = counts_gm.shape[0]
+    gene_mask_np = None
+    if mesh is not None:
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        counts_gm, _ = pad_to_multiple(counts_gm, n_dev, fill=1)
+        gene_mask_np = np.arange(counts_gm.shape[0]) < G
+
+    counts_d = jnp.asarray(counts_gm, dtype)
+    design_d = jnp.asarray(design_df.values, dtype)
+    contrast_d = jnp.asarray(contrast_vector, dtype)
+    gene_mask_d = None if gene_mask_np is None else jnp.asarray(gene_mask_np)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        counts_d = jax.device_put(counts_d, NamedSharding(mesh, P("genes", None)))
+        design_d = jax.device_put(design_d, NamedSharding(mesh, P()))
+        contrast_d = jax.device_put(contrast_d, NamedSharding(mesh, P()))
+        gene_mask_d = jax.device_put(gene_mask_d, NamedSharding(mesh, P("genes")))
+
+    out = summary_pipeline(
+        counts_d,
+        design_d,
+        contrast_d,
+        jnp.asarray(np.log(2) * lfc_null, dtype),  # log2 -> natural log
+        jnp.asarray(host["cooks_cutoff"], dtype),
+        gene_mask_d,
+        cohort_ids=host["cohort_ids"],
+        use_for_max=host["use_for_max"],
+        alpha=alpha,
+        cooks_filter=cooks_filter,
+        independent_filter=independent_filter,
+        min_mu=min_mu,
+        min_disp=min_disp,
+        max_disp=max_disp,
+        beta_tol=beta_tol,
+        trend_type=fit_type,
+        alt_hypothesis=alt_hypothesis,
+        mu_init=mu_init,
+    )
+
+    ln2 = np.log(2)
+    lfc = np.asarray(out["lfc"])[:G]
+    results_df = pd.DataFrame(index=dds.var_names)
+    results_df["baseMean"] = np.asarray(out["base_mean"])[:G]
+    results_df["log2FoldChange"] = lfc @ contrast_vector / ln2
+    results_df["lfcSE"] = np.asarray(out["se"])[:G] / ln2
+    results_df["stat"] = np.asarray(out["statistics"])[:G]
+    results_df["pvalue"] = np.asarray(out["p_values"])[:G]
+    results_df["padj"] = np.asarray(out["padj"])[:G]
+
+    if not quiet:
+        print(results_df)
+    if return_state:
+        return results_df, out
+    return results_df

@@ -75,21 +75,7 @@ def _size_factors(
     return sf, filtered
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "min_mu",
-        "min_disp",
-        "max_disp",
-        "beta_tol",
-        "trend_type",
-        "trend_rounds",
-        "alt_hypothesis",
-        "use_pallas",
-        "mu_init",
-    ),
-)
-def wald_pipeline(
+def _wald_impl(
     counts: jnp.ndarray,
     design_matrix: jnp.ndarray,
     contrast: jnp.ndarray,
@@ -275,6 +261,268 @@ def wald_pipeline(
         "statistics": nanm(stats),
         "se": nanm(se),
         "irls_converged": converged,
+        "_normed": normed,
+        "_non_zero": non_zero,
+    }
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "min_mu",
+        "min_disp",
+        "max_disp",
+        "beta_tol",
+        "trend_type",
+        "trend_rounds",
+        "alt_hypothesis",
+        "use_pallas",
+        "mu_init",
+    ),
+)
+def wald_pipeline(
+    counts: jnp.ndarray,
+    design_matrix: jnp.ndarray,
+    contrast: jnp.ndarray,
+    lfc_null: jnp.ndarray,
+    gene_mask: jnp.ndarray | None = None,
+    min_mu: float = 0.5,
+    min_disp: float = 1e-8,
+    max_disp: float = 10.0,
+    beta_tol: float = 1e-8,
+    trend_type: str = "parametric",
+    trend_rounds: int = 8,
+    alt_hypothesis: str | None = None,
+    use_pallas: bool = False,
+    mu_init: str = "linear",
+):
+    """See :func:`_wald_impl` (this is its jitted public wrapper)."""
+    out = _wald_impl(
+        counts,
+        design_matrix,
+        contrast,
+        lfc_null,
+        gene_mask,
+        min_mu=min_mu,
+        min_disp=min_disp,
+        max_disp=max_disp,
+        beta_tol=beta_tol,
+        trend_type=trend_type,
+        trend_rounds=trend_rounds,
+        alt_hypothesis=alt_hypothesis,
+        use_pallas=use_pallas,
+        mu_init=mu_init,
+    )
+    out.pop("_normed")
+    out.pop("_non_zero")
+    return out
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cohort_ids",
+        "use_for_max",
+        "alpha",
+        "cooks_filter",
+        "independent_filter",
+        "min_mu",
+        "min_disp",
+        "max_disp",
+        "beta_tol",
+        "trend_type",
+        "trend_rounds",
+        "alt_hypothesis",
+        "use_pallas",
+        "mu_init",
+    ),
+)
+def summary_pipeline(
+    counts: jnp.ndarray,
+    design_matrix: jnp.ndarray,
+    contrast: jnp.ndarray,
+    lfc_null: jnp.ndarray,
+    cooks_cutoff: jnp.ndarray,
+    gene_mask: jnp.ndarray | None = None,
+    *,
+    cohort_ids: tuple[int, ...] | None = None,
+    use_for_max: tuple[bool, ...] | None = None,
+    alpha: float = 0.05,
+    cooks_filter: bool = True,
+    independent_filter: bool = True,
+    min_mu: float = 0.5,
+    min_disp: float = 1e-8,
+    max_disp: float = 10.0,
+    beta_tol: float = 1e-8,
+    trend_type: str = "parametric",
+    trend_rounds: int = 8,
+    alt_hypothesis: str | None = None,
+    use_pallas: bool = False,
+    mu_init: str = "linear",
+):
+    """Counts -> padj as ONE jit program: the full DESeq2 analysis.
+
+    Extends :func:`wald_pipeline` with the statistics layer — Cook's
+    distances (reference pydeseq2/dds.py:986-1040), Cook's outlier p-value
+    masking (dds.py:1066-1110) and BH adjustment with or without independent
+    filtering (ds.py:486-542) — so the entire `DeseqDataSet.deseq2()` +
+    `DeseqStats.summary()` workflow (with ``refit_cooks=False`` semantics;
+    outlier *refitting* is inherently data-dependent and lives in the staged
+    driver) runs without a single host roundtrip. All cross-gene reductions
+    (quantile cutoffs, 50 batched BH passes, lowess pick) become XLA
+    collectives when the gene axis is sharded over a mesh.
+
+    Parameters beyond :func:`wald_pipeline`'s
+    --------------------------------------------
+    cooks_cutoff : scalar
+        F(0.99, p, n-p) ppf, computed host-side (scipy) — a design-only
+        constant (reference pydeseq2/dds.py:1080).
+    cohort_ids : tuple of int, or None
+        Per-sample cohort id over samples whose design-row combination has
+        >= 3 replicates, restricted to those samples (see
+        :func:`summary_host_inputs`). None means no cohort has >= 3
+        replicates -> global trimmed variance (reference
+        pydeseq2/utils.py:938-952). Static: cohort membership is part of the
+        experiment design, not data.
+    use_for_max : tuple of bool
+        (N,) mask of samples in >= 3-replicate cohorts (reference
+        pydeseq2/dds.py:1081). Static for the same reason.
+    alpha, cooks_filter, independent_filter :
+        `DeseqStats` knobs (reference pydeseq2/ds.py:131-146).
+
+    Returns the :func:`wald_pipeline` dict plus ``cooks`` (G, N),
+    ``cooks_outlier`` (G,), masked ``p_values`` and ``padj``.
+    """
+    import numpy as np
+
+    from pydeseq2_tpu.ops import stats as stats_ops
+
+    G, N = counts.shape
+    P = design_matrix.shape[1]
+    dtype = counts.dtype
+    if gene_mask is None:
+        gene_mask = jnp.ones((G,), dtype=bool)
+    if use_for_max is None:
+        use_for_max = tuple([True] * N)
+
+    out = _wald_impl(
+        counts,
+        design_matrix,
+        contrast,
+        lfc_null,
+        gene_mask,
+        min_mu=min_mu,
+        min_disp=min_disp,
+        max_disp=max_disp,
+        beta_tol=beta_tol,
+        trend_type=trend_type,
+        trend_rounds=trend_rounds,
+        alt_hypothesis=alt_hypothesis,
+        use_pallas=use_pallas,
+        mu_init=mu_init,
+    )
+    normed = out.pop("_normed")
+    non_zero = out.pop("_non_zero")
+    mu = out["mu"]
+    H = out["hat_diagonals"]
+    base_mean = out["base_mean"]
+
+    # --- Cook's distances (reference pydeseq2/dds.py:986-1040) -------------
+    # Robust MoM dispersion: cohort-wise trimmed variance over samples in
+    # >= 3-replicate cohorts, else global trimmed variance
+    # (reference pydeseq2/utils.py:914-960).
+    if cohort_ids is not None:
+        idx = np.where(np.asarray(use_for_max))[0]
+        v = stats_ops.trimmed_cell_variance(
+            normed[:, idx].T, np.asarray(cohort_ids)
+        )
+    else:
+        v = stats_ops.trimmed_variance(normed.T, axis=0)
+    m = normed.mean(axis=1)
+    disp_c = jnp.maximum((v - m) / m**2, 0.04)
+    V = mu + disp_c[:, None] * mu**2
+    squared_pearson = (counts - mu) ** 2 / (V * P)
+    cooks = squared_pearson * H / (1.0 - H) ** 2  # (G, N)
+
+    # --- Cook's outlier gene mask (reference pydeseq2/dds.py:1066-1110) ----
+    ufm = jnp.asarray(np.asarray(use_for_max), dtype=bool)
+    flagged = ((jnp.where(ufm[None, :], cooks, -jnp.inf)) > cooks_cutoff).any(axis=1)
+    # Un-flag genes where >= 3 samples exceed the max-cooks sample's count
+    # (reference pydeseq2/dds.py:1097-1101).
+    pos = jnp.argmax(cooks, axis=1)
+    max_count = jnp.take_along_axis(counts, pos[:, None], axis=1)
+    flagged = flagged & ((counts > max_count).sum(axis=1) < 3)
+    outlier = flagged & non_zero
+
+    p = out["p_values"]
+    if cooks_filter:
+        p = jnp.where(outlier, jnp.nan, p)
+        out["p_values"] = p
+
+    # --- BH / independent filtering (reference pydeseq2/ds.py:486-542) -----
+    valid = ~jnp.isnan(p) & gene_mask
+    p_filled = jnp.nan_to_num(p, nan=1.0)
+    if independent_filter:
+        base_m = jnp.where(gene_mask, base_mean, jnp.nan)
+        lower_q = ((base_m == 0) & gene_mask).sum() / jnp.maximum(gene_mask.sum(), 1)
+        lower_q = lower_q.astype(dtype)
+        upper_q = jnp.where(lower_q < 0.95, jnp.asarray(0.95, dtype), jnp.asarray(1.0, dtype))
+        theta = lower_q + (upper_q - lower_q) * jnp.linspace(0.0, 1.0, 50, dtype=dtype)
+        cutoffs = jnp.nanquantile(base_m, theta)
+        masks = (base_mean[None, :] >= cutoffs[:, None]) & valid[None, :]
+        adj = stats_ops.bh_adjust_masked(
+            jnp.broadcast_to(p_filled, (50, G)), masks
+        )  # (50, G), NaN outside masks
+        num_rej = (adj < alpha).sum(axis=1)
+        lo = stats_ops.lowess_device(theta, num_rej.astype(dtype), frac=1.0 / 5.0)
+        resid = jnp.where(num_rej > 0, num_rej.astype(dtype) - lo, jnp.nan)
+        thresh = lo.max() - jnp.sqrt(jnp.nanmean(resid**2))
+        above = num_rej > thresh
+        j = jnp.where(above.any(), jnp.argmax(above), 0)
+        j = jnp.where(num_rej.max() <= 10, 0, j)
+        padj = jnp.take(adj, j, axis=0)
+    else:
+        padj = stats_ops.bh_adjust_masked(p_filled, valid)
+
+    out["cooks"] = jnp.where(non_zero[:, None], cooks, jnp.nan)
+    out["cooks_outlier"] = outlier
+    out["padj"] = jnp.where(gene_mask, padj, jnp.nan)
+    return out
+
+
+def summary_host_inputs(design_matrix) -> dict:
+    """Host-side static inputs for :func:`summary_pipeline`.
+
+    Computes, from the design matrix (pandas DataFrame or ndarray), the
+    design-only constants the fused summary program needs: the F(0.99, p,
+    n-p) Cook's cutoff (reference pydeseq2/dds.py:1080), the >= 3-replicate
+    sample mask (reference pydeseq2/utils.py:888-911) and the cohort ids of
+    those samples in first-seen order (reference pydeseq2/utils.py:925-936).
+    """
+    import numpy as np
+    import pandas as pd
+    from scipy.stats import f  # host scalar ppf only
+
+    from pydeseq2_tpu.utils import n_or_more_replicates
+
+    df = (
+        design_matrix
+        if isinstance(design_matrix, pd.DataFrame)
+        else pd.DataFrame(np.asarray(design_matrix))
+    )
+    n, p = df.shape
+    three_or_more = n_or_more_replicates(df, 3).to_numpy()
+    if three_or_more.any():
+        filtered = df.loc[three_or_more, :]
+        cohort_ids = tuple(
+            int(x) for x in filtered.groupby(filtered.columns.tolist()).ngroup()
+        )
+    else:
+        cohort_ids = None
+    return {
+        "cooks_cutoff": float(f.ppf(0.99, p, n - p)),
+        "use_for_max": tuple(bool(b) for b in three_or_more),
+        "cohort_ids": cohort_ids,
     }
 
 

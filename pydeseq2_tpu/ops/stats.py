@@ -147,6 +147,56 @@ def jax_lax_cummin(x: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.cummin(x, axis=x.ndim - 1)
 
 
+def lowess_device(
+    features: jnp.ndarray, targets: jnp.ndarray, frac: float = 2.0 / 3.0, it: int = 3
+) -> jnp.ndarray:
+    """Device (jit-compatible) lowess over a small fixed-size grid.
+
+    Same arithmetic as :func:`lowess` (tricube weights, closed-form 2x2
+    weighted least squares per point, 3 robustifying iterations), expressed as
+    batched jnp ops so the fused summary pipeline can run independent
+    filtering without a host roundtrip. Input size is static (the 50
+    independent-filtering cutoffs), so the r-th-neighbour bandwidth index is
+    compile-time constant.
+
+    Parity: reference pydeseq2/utils.py:1379-1443.
+    """
+    import jax
+
+    f = jnp.asarray(features)
+    y = jnp.asarray(targets, dtype=f.dtype)
+    n = f.shape[0]
+    r = int(math.ceil(frac * n))
+    dists = jnp.abs(f[:, None] - f[None, :])
+    h = jnp.maximum(jnp.sort(dists, axis=1)[:, r], 1e-12)
+    w = jnp.clip(dists / h[None, :], 0.0, 1.0)
+    w = (1.0 - w**3) ** 3  # (n, n); column i = weights for local fit at i
+
+    def one_round(delta, _):
+        weights = delta[:, None] * w
+        sw = weights.sum(0)
+        swf = (weights * f[:, None]).sum(0)
+        swff = (weights * f[:, None] ** 2).sum(0)
+        b0 = (weights * y[:, None]).sum(0)
+        b1 = (weights * (y * f)[:, None]).sum(0)
+        det = sw * swff - swf**2
+        beta0 = (b0 * swff - b1 * swf) / det
+        beta1 = (sw * b1 - swf * b0) / det
+        yest = beta0 + beta1 * f
+        resid = y - yest
+        s = jnp.median(jnp.abs(resid))
+        delta_new = jnp.where(
+            s == 0,
+            (jnp.abs(resid) > 0).astype(f.dtype),
+            jnp.clip(resid / (6.0 * s), -1.0, 1.0),
+        )
+        delta_new = (1.0 - delta_new**2) ** 2
+        return delta_new, yest
+
+    _, yests = jax.lax.scan(one_round, jnp.ones(n, dtype=f.dtype), None, length=it)
+    return yests[-1]
+
+
 def lowess(features: np.ndarray, targets: np.ndarray, frac: float = 2.0 / 3.0, it: int = 3) -> np.ndarray:
     """Robust locally-weighted linear regression (tricube weights).
 
