@@ -31,7 +31,12 @@ import jax.numpy as jnp
 
 from pydeseq2_tpu.ops import stats as stats_ops
 from pydeseq2_tpu.ops.dispersion import alpha_mle_batch
-from pydeseq2_tpu.ops.irls import hat_diagonals, irls_beta_init, irls_core
+from pydeseq2_tpu.ops.irls import (
+    hat_diagonals,
+    irls_beta_init,
+    irls_core,
+    newton_box_nbglm,
+)
 from pydeseq2_tpu.ops.linreg import (
     fit_lin_mu_batch,
     fit_moments_dispersions_batch,
@@ -39,6 +44,47 @@ from pydeseq2_tpu.ops.linreg import (
 )
 from pydeseq2_tpu.ops.trend import gamma_glm_trend_fit
 from pydeseq2_tpu.ops.wald import wald_test_batch
+
+
+def _irls_with_rescue(
+    counts: jnp.ndarray,
+    size_factors: jnp.ndarray,
+    design_matrix: jnp.ndarray,
+    disp: jnp.ndarray,
+    beta_init: jnp.ndarray,
+    min_mu: float,
+    beta_tol: float,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched IRLS with the projected-Newton rescue fused into the program.
+
+    The staged backend host-gathers diverged lanes and re-solves them
+    (jax_inference.py JaxInference.irls, mirroring the reference cascade at
+    pydeseq2/utils.py:374-403); here the rescue runs inside the single jit
+    program behind a ``lax.cond``, so the Newton solve only executes at
+    runtime when some lane actually diverged. Rescued lanes restart from the
+    QR ``beta_init``, matching the staged backend exactly.
+
+    Returns (beta, converged).
+    """
+    beta, needs_fb, converged = irls_core(
+        counts, size_factors, design_matrix, disp, beta_init,
+        min_mu=min_mu, beta_tol=beta_tol,
+    )
+
+    def rescue(operands):
+        beta, converged = operands
+        b_fb, ok = newton_box_nbglm(
+            counts, size_factors, design_matrix, disp, beta_init, min_mu=min_mu
+        )
+        return (
+            jnp.where(needs_fb[:, None], b_fb, beta),
+            jnp.where(needs_fb, ok, converged),
+        )
+
+    beta, converged = jax.lax.cond(
+        needs_fb.any(), rescue, lambda ops: ops, (beta, converged)
+    )
+    return beta, converged
 
 
 def _trimmed_mean_cut(values: jnp.ndarray, sel: jnp.ndarray, cut: float) -> jnp.ndarray:
@@ -147,7 +193,7 @@ def _wald_impl(
     # prior is an additive per-lane quadratic), so its coarse scan reuses the
     # cache instead of re-evaluating the NB likelihood at all grid points.
     if mu_init == "irls":
-        beta_mom, _, _ = irls_core(
+        beta_mom, _ = _irls_with_rescue(
             counts, sf, X, mom, irls_beta_init(counts, sf, X),
             min_mu=min_mu, beta_tol=beta_tol,
         )
@@ -233,7 +279,7 @@ def _wald_impl(
     # --- LFC via IRLS -----------------------------------------------------
     disp_safe = jnp.nan_to_num(dispersions, nan=0.5)
     beta_init = irls_beta_init(counts, sf, X)
-    beta, needs_fb, converged = irls_core(
+    beta, converged = _irls_with_rescue(
         counts, sf, X, disp_safe, beta_init, min_mu=min_mu, beta_tol=beta_tol
     )
     H, mu = hat_diagonals(counts, sf, X, disp_safe, beta, min_mu=min_mu)

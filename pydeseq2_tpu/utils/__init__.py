@@ -119,6 +119,18 @@ def trimmed_mean_numpy(x: np.ndarray, trim: float = 0.1, axis: int | None = None
     return s[ntrim : n - ntrim].mean()
 
 
+def mean_absolute_deviation(x) -> float:
+    """Median absolute deviation with normal consistency scaling.
+
+    Parity: reference pydeseq2/utils.py:1210-1227 (same name and location in
+    `utils`; the device-batched form lives in ops/stats.py).
+    """
+    x = np.asarray(x, dtype=float)
+    center = np.median(x)
+    # Phi^-1(0.75), the normal-consistency constant.
+    return float(np.median(np.abs(x - center)) / 0.6744897501960817)
+
+
 def nb_nll_numpy(counts: np.ndarray, mu: np.ndarray, alpha: np.ndarray) -> np.ndarray:
     """Vector-alpha NB negative log-likelihood on the host.
 

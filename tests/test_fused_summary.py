@@ -143,10 +143,14 @@ def test_summary_pipeline_gene_mask_padding(counts_df, metadata):
         jnp.asarray(mask),
         **kw,
     )
+    # Not bit-identical: global reductions (trend Fisher scoring, prior MAD)
+    # sum over different padded lengths, so XLA's reduction trees differ.
+    # A genuine padding leak (pad lanes entering a statistic) shows up at
+    # O(1e-2); reduction reordering stays at O(1e-8) in f64.
     np.testing.assert_allclose(
         np.asarray(padded["padj"])[:G],
         np.asarray(base["padj"]),
-        rtol=1e-10,
+        rtol=1e-6,
         equal_nan=True,
     )
     assert np.isnan(np.asarray(padded["padj"])[G:]).all()
