@@ -30,7 +30,10 @@ def _weighted_gram(X: jnp.ndarray, W: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("gn,np,nq->gpq", W, X, X, optimize=True)
 
 
-@partial(jax.jit, static_argnames=("min_mu", "beta_tol", "max_beta", "maxiter"))
+@partial(
+    jax.jit,
+    static_argnames=("min_mu", "beta_tol", "max_beta", "maxiter", "step_tol"),
+)
 def irls_core(
     counts: jnp.ndarray,
     size_factors: jnp.ndarray,
@@ -41,6 +44,7 @@ def irls_core(
     beta_tol: float = 1e-8,
     max_beta: float = 30.0,
     maxiter: int = 250,
+    step_tol: float | None = None,
 ):
     """Masked-lane batched IRLS.
 
@@ -63,11 +67,22 @@ def irls_core(
     beta = (X^T W X + 1e-6 I)^{-1} X^T W z and the deviance stopping rule
     |dev-dev_old|/(|dev|+0.1) < beta_tol mirror reference
     pydeseq2/utils.py:359-421.
+
+    ``step_tol`` adds a secondary stop on max|Delta beta|: in f32 the
+    deviance difference carries O(eps*|dev|) roundoff, so lanes whose
+    iterates have stopped moving can oscillate around the ratio threshold
+    forever (250 full-width iterations + a pointless fallback flag) even
+    though the same lane converges in one step in f64. Such lanes ARE
+    converged. None = dtype default: 1e-5 absolute for f32 (iterate noise
+    there is ~1e-6; dispersion/Wald results are insensitive at <1e-5),
+    disabled for f64 (reference-exact stopping semantics).
     """
     X = design_matrix
     G, N = counts.shape
     P = X.shape[1]
     dtype = beta_init.dtype
+    if step_tol is None:
+        step_tol = 1e-5 if dtype == jnp.float32 else 0.0
     ridge = (1e-6 * jnp.eye(P, dtype=dtype))[None]
 
     # The deviance -2*nb_nll splits into a (y, alpha)-only part (all the
@@ -122,6 +137,9 @@ def irls_core(
         new_dev = -2.0 * (nll_const + mu_part(new_mu, new_log_mu))
         dev_ratio = jnp.abs(new_dev - dev) / (jnp.abs(new_dev) + 0.1)
         still_active = step_ok & (dev_ratio > beta_tol)
+        if step_tol > 0.0:
+            step_small = jnp.abs(beta_hat - beta).max(axis=1) <= step_tol
+            still_active = still_active & ~step_small
 
         dev = jnp.where(step_ok, new_dev, dev)
         return new_beta, new_mu, new_log_mu_sf, dev, still_active, needs_fb | new_fb, it

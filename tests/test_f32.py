@@ -98,3 +98,50 @@ def test_f32_pipeline_significance_concordance():
     sig = m & (np.abs(st64) > 2)
     rel = np.abs(st32[sig] - st64[sig]) / np.abs(st64[sig])
     assert np.median(rel) < 0.02, np.median(rel)
+
+
+def test_f32_irls_step_tol_stops_stalled_lanes():
+    """f32 IRLS lanes whose iterates stop moving must count as converged.
+
+    In f32 the deviance difference carries O(eps*|dev|) roundoff, so a lane
+    can oscillate around the ratio threshold for all 250 iterations even
+    though the same lane converges immediately in f64 (such lanes used to be
+    flagged for the expensive Newton rescue AND kept the while_loop at full
+    width). The step_tol secondary stop (ops/irls.py) must (a) not change
+    the fitted betas beyond iterate noise, (b) leave no maxiter stragglers
+    on well-behaved data.
+    """
+    from pydeseq2_tpu.fused import _size_factors
+    from pydeseq2_tpu.ops.dispersion import alpha_mle_batch
+    from pydeseq2_tpu.ops.irls import irls_beta_init, irls_core
+    from pydeseq2_tpu.ops.linreg import (
+        fit_lin_mu_batch,
+        fit_moments_dispersions_batch,
+        fit_rough_dispersions_batch,
+    )
+
+    counts, X = _make_data(G=512, N=100, seed=11)
+    cnt = jnp.asarray(counts, jnp.float32)
+    Xd = jnp.asarray(X, jnp.float32)
+    sf, _ = _size_factors(cnt, jnp.ones((cnt.shape[0],), bool))
+    normed = cnt / sf[None, :]
+    mom = jnp.clip(
+        jnp.minimum(
+            fit_rough_dispersions_batch(normed, Xd),
+            fit_moments_dispersions_batch(normed, sf),
+        ),
+        1e-8,
+        100.0,
+    )
+    mu = fit_lin_mu_batch(cnt, sf, Xd, 0.5)
+    disp, _ = alpha_mle_batch(cnt, Xd, mu, mom, 1e-8, 100.0)
+    bi = irls_beta_init(cnt, sf, Xd)
+
+    beta, needs_fb, conv = irls_core(cnt, sf, Xd, disp, bi, min_mu=0.5, beta_tol=1e-6)
+    assert not bool(np.asarray(needs_fb).any())
+
+    # Betas match the no-step-tol run to iterate noise.
+    beta0, _, _ = irls_core(
+        cnt, sf, Xd, disp, bi, min_mu=0.5, beta_tol=1e-6, step_tol=0.0
+    )
+    assert np.abs(np.asarray(beta) - np.asarray(beta0)).max() < 1e-4
