@@ -19,6 +19,7 @@ from __future__ import annotations
 import sys
 import time
 import warnings
+from contextlib import contextmanager
 from typing import Literal
 
 import numpy as np
@@ -28,7 +29,12 @@ from pydeseq2_tpu.container import DeseqDataContainer
 from pydeseq2_tpu.formula import DesignMatrix
 from pydeseq2_tpu.inference import Inference
 from pydeseq2_tpu.jax_inference import JaxInference
-from pydeseq2_tpu.preprocessing import deseq2_norm_fit, deseq2_norm_transform
+from pydeseq2_tpu.preprocessing import (
+    deseq2_norm_fit,
+    deseq2_norm_transform,
+    poscounts_norm_fit,
+    poscounts_size_factors,
+)
 from pydeseq2_tpu.ops import stats as stats_ops
 from pydeseq2_tpu.utils import (
     dispersion_trend,
@@ -228,6 +234,22 @@ class DeseqDataSet(DeseqDataContainer):
             self.refit()
         self.cooks_outlier()
 
+    def _control_gene_mask(self, control_genes) -> np.ndarray:
+        """Boolean gene mask from any valid gene indexer (or all-True)."""
+        if control_genes is None:
+            control_genes = self.control_genes
+            if control_genes is not None and not self.quiet:
+                print(
+                    f"Using {control_genes} as control genes, passed at "
+                    "DeseqDataSet initialization"
+                )
+        mask = np.zeros(self.n_vars, dtype=bool)
+        if control_genes is None:
+            mask[:] = True
+        else:
+            mask[self.normalize_gene_indexer(control_genes)] = True
+        return mask
+
     def fit_size_factors(
         self,
         fit_type: Literal["ratio", "poscounts", "iterative"] | None = None,
@@ -235,51 +257,24 @@ class DeseqDataSet(DeseqDataContainer):
     ) -> None:
         """Fit sample-wise normalization (size) factors.
 
-        Parity: reference pydeseq2/dds.py:584-711 (ratio / poscounts /
-        iterative modes, control genes, automatic ratio->iterative switch).
+        Dispatches to one of three estimators — ``ratio`` (median of
+        ratios), ``poscounts`` (positive-count geometric means, for
+        zero-rich data) or ``iterative`` (trimmed-likelihood MLE) — with the
+        reference's automatic ratio->iterative switch when every gene has a
+        zero. Behavior parity: reference pydeseq2/dds.py:584-711.
         """
-        if fit_type is None:
-            fit_type = self.size_factors_fit_type
+        fit_type = fit_type or self.size_factors_fit_type
         if not self.quiet:
             print("Fitting size factors...", file=sys.stderr)
         start = time.time()
 
-        if control_genes is None and getattr(self, "control_genes", None) is not None:
-            control_genes = self.control_genes
-            if not self.quiet:
-                print(
-                    f"Using {control_genes} as control genes, passed at "
-                    "DeseqDataSet initialization"
-                )
-
-        if control_genes is not None:
-            _control_mask = np.zeros(self.n_vars, dtype=bool)
-            _control_mask[self.normalize_gene_indexer(control_genes)] = True
-        else:
-            _control_mask = np.ones(self.n_vars, dtype=bool)
-
         if fit_type == "iterative":
             self._fit_iterate_size_factors()
         elif fit_type == "poscounts":
-            # Geometric mean over positive counts only
-            # (reference pydeseq2/dds.py:656-679).
-            log_counts = np.zeros_like(self.X, dtype=float)
-            np.log(self.X, out=log_counts, where=self.X != 0)
-            logmeans = log_counts.mean(0)
-            self.filtered_genes = (~np.isinf(logmeans)) & (logmeans > 0)
-            _control_mask &= self.filtered_genes
-
-            def size_factor(x):
-                _mask = np.logical_and(_control_mask, x > 0)
-                return np.exp(np.median(np.log(x[_mask]) - logmeans[_mask]))
-
-            sf = np.apply_along_axis(size_factor, 1, self.X)
-            self.obs["size_factors"] = sf / np.exp(np.mean(np.log(sf)))
-            self.layers["normed_counts"] = (
-                self.X / self.obs["size_factors"].values[:, None]
-            )
-            self.logmeans = logmeans
-        elif (self.X == 0).any(0).all():
+            self._size_factors_poscounts(self._control_gene_mask(control_genes))
+        elif not (self.X > 0).all(0).any():
+            # ratio requested but no gene is zero-free: log-geometric means
+            # are undefined, so fall through to the iterative estimator.
             warnings.warn(
                 "Every gene contains at least one zero, cannot compute log "
                 "geometric means. Switching to iterative mode.",
@@ -288,15 +283,35 @@ class DeseqDataSet(DeseqDataContainer):
             )
             self._fit_iterate_size_factors()
         else:
-            self.logmeans, self.filtered_genes = deseq2_norm_fit(self.X)
-            _control_mask &= self.filtered_genes
-            normed, sf = deseq2_norm_transform(self.X, self.logmeans, _control_mask)
-            self.layers["normed_counts"] = normed
-            self.obs["size_factors"] = sf
+            self._size_factors_ratio(self._control_gene_mask(control_genes))
 
         self.var["_normed_means"] = self.layers["normed_counts"].mean(0)
         if not self.quiet:
             print(f"... done in {time.time() - start:.2f} seconds.\n", file=sys.stderr)
+
+    def _size_factors_ratio(self, control_mask: np.ndarray) -> None:
+        """Median-of-ratios estimator (device reductions)."""
+        self.logmeans, self.filtered_genes = deseq2_norm_fit(self.X)
+        normed, sf = deseq2_norm_transform(
+            self.X, self.logmeans, control_mask & self.filtered_genes
+        )
+        self.layers["normed_counts"] = normed
+        self.obs["size_factors"] = sf
+
+    def _size_factors_poscounts(self, control_mask: np.ndarray) -> None:
+        """Positive-counts estimator, fully batched on device.
+
+        Unlike the reference's per-sample Python loop
+        (pydeseq2/dds.py:668-676), the ragged per-sample medians run as one
+        (N, G) sort+gather kernel (:func:`poscounts_size_factors`), so this
+        stays device-resident at 10k+ samples.
+        """
+        self.logmeans, self.filtered_genes = poscounts_norm_fit(self.X)
+        sf = poscounts_size_factors(
+            self.X, self.logmeans, control_mask & self.filtered_genes
+        )
+        self.obs["size_factors"] = sf
+        self.layers["normed_counts"] = self.X / sf[:, None]
 
     def fit_genewise_dispersions(self, vst: bool = False) -> None:
         """Per-gene NB dispersion MLE (one batched device program).
@@ -600,126 +615,152 @@ class DeseqDataSet(DeseqDataContainer):
         else:
             self.var["refitted"] = np.full(self.n_vars, False)
 
+    def _cooks_cutoff(self) -> float:
+        """99th-percentile F cutoff for Cook's distances (host scalar)."""
+        from scipy.stats import f
+
+        p = self.obsm["design_matrix"].shape[-1]
+        return float(f.ppf(0.99, p, self.n_obs - p))
+
     def cooks_outlier(self):
         """Boolean gene mask of Cook's outliers for p-value masking.
 
-        Parity: reference pydeseq2/dds.py:1066-1110.
+        Behavior parity: reference pydeseq2/dds.py:1066-1110. A gene is
+        flagged when any well-replicated sample (cohort >= 3) exceeds the F
+        cutoff — unless at least 3 samples have higher counts than the
+        worst-Cook's sample, in which case the extreme value is considered
+        representative rather than an outlier. The veto is evaluated for all
+        genes at once (the reference gathers per flagged gene).
         """
         if "_pvalue_cooks_outlier" in self.var.keys():
             return self.var["_pvalue_cooks_outlier"]
 
-        from scipy.stats import f  # host scalar ppf only
+        cutoff = self._cooks_cutoff()
+        well_replicated = n_or_more_replicates(
+            self.obsm["design_matrix"], 3
+        ).values
 
-        num_samples = self.n_obs
-        num_vars = self.obsm["design_matrix"].shape[-1]
-        cooks_cutoff = f.ppf(0.99, num_vars, num_samples - num_vars)
-        use_for_max = n_or_more_replicates(self.obsm["design_matrix"], 3)
-
-        if (
+        refit_ran = (
             self.refit_cooks
-            and (self.var["refitted"].sum() > 0)
+            and self.var["refitted"].sum() > 0
             and "replace_cooks" in self.layers.keys()
-        ):
-            cooks_outlier = (
-                self.layers["replace_cooks"][use_for_max.values, :] > cooks_cutoff
-            ).any(axis=0)
-        else:
-            cooks_outlier = (
-                self.layers["cooks"][use_for_max.values, :] > cooks_cutoff
-            ).any(axis=0)
+        )
+        distances = self.layers["replace_cooks" if refit_ran else "cooks"]
+        flagged = (distances[well_replicated, :] > cutoff).any(axis=0)
 
-        # Don't flag genes where >= 3 samples exceed the max-cooks sample's
-        # count (reference pydeseq2/dds.py:1097-1101).
-        pos = self.layers["cooks"][:, cooks_outlier].argmax(0)
-        cooks_outlier[cooks_outlier] = (
-            self.X[:, cooks_outlier]
-            > self.X[:, cooks_outlier][pos, np.arange(len(pos))]
-        ).sum(0) < 3
+        # Count-based veto, computed on the pre-replacement distances.
+        worst_sample = self.layers["cooks"].argmax(axis=0)
+        worst_counts = self.X[worst_sample, np.arange(self.n_vars)]
+        n_above_worst = (self.X > worst_counts[None, :]).sum(axis=0)
+        outliers = flagged & (n_above_worst < 3)
 
         if self.low_memory:
             del self.layers["cooks"]
-        if self.low_memory and "replace_cooks" in self.layers.keys():
-            del self.layers["replace_cooks"]
+            if "replace_cooks" in self.layers.keys():
+                del self.layers["replace_cooks"]
 
-        self.var["_pvalue_cooks_outlier"] = cooks_outlier
+        self.var["_pvalue_cooks_outlier"] = outliers
         return self.var["_pvalue_cooks_outlier"]
 
     def _replace_outliers(self) -> None:
         """Impute counts whose Cook's distance exceeds the F(0.99) cutoff.
 
-        Parity: reference pydeseq2/dds.py:1301-1358.
+        Behavior parity: reference pydeseq2/dds.py:1301-1358. Flagged
+        entries in well-replicated cohorts (>= ``min_replicates``) are
+        replaced by trimmed-mean(0.2) baselines rescaled per sample;
+        the affected genes are split off into ``counts_to_refit``.
         """
-        from scipy.stats import f
-
         if "cooks" not in self.layers:
             self.calculate_cooks()
 
-        num_samples = self.n_obs
-        num_vars = self.obsm["design_matrix"].shape[1]
-
-        self.obs["replaceable"] = n_or_more_replicates(
+        replaceable = n_or_more_replicates(
             self.obsm["design_matrix"], self.min_replicates
         ).values
-
-        if self.obs["replaceable"].sum() == 0:
-            self.var["replaced"] = np.full(self.n_vars, False)
+        self.obs["replaceable"] = replaceable
+        if not replaceable.any():
+            self.var["replaced"] = np.zeros(self.n_vars, dtype=bool)
             return
 
-        cooks_cutoff = f.ppf(0.99, num_vars, num_samples - num_vars)
-        idx = self.layers["cooks"] > cooks_cutoff
-        self.var["replaced"] = idx.any(axis=0)
+        exceeds = self.layers["cooks"] > self._cooks_cutoff()
+        replaced = exceeds.any(axis=0)
+        self.var["replaced"] = replaced
+        if not replaced.any():
+            return
 
-        if sum(self.var["replaced"] > 0):
-            self.counts_to_refit = self.subset_genes(self.var["replaced"].values)
-            trim_base_mean = trimmed_mean_numpy(
-                self.counts_to_refit.X / self.obs["size_factors"].values[:, None],
-                trim=0.2,
-                axis=0,
-            )
-            replacement_counts = (
-                trim_base_mean[None, :] * self.obs["size_factors"].values[:, None]
-            ).astype(int)
-            mask = (
-                self.obs["replaceable"].values[:, None] & idx[:, self.var["replaced"]]
-            )
-            new_X = self.counts_to_refit.X.copy()
-            new_X[mask] = replacement_counts[mask]
-            self.counts_to_refit.X = new_X
+        sub = self.subset_genes(replaced)
+        sf_col = self.obs["size_factors"].values[:, None]
+        robust_base = trimmed_mean_numpy(sub.X / sf_col, trim=0.2, axis=0)
+        imputed = (robust_base[None, :] * sf_col).astype(int)
+        swap = replaceable[:, None] & exceeds[:, replaced]
+        sub.X = np.where(swap, imputed, sub.X)
+        self.counts_to_refit = sub
+
+    # Slots the refit sub-pipeline inherits from the parent fit instead of
+    # recomputing (trend curve and dispersion prior: reference
+    # pydeseq2/dds.py:1421-1438).
+    _REFIT_INHERITED_UNS = (
+        "disp_function_type",
+        "trend_coeffs",
+        "mean_disp",
+        "_squared_logres",
+        "prior_disp_var",
+    )
+    # Per-gene results copied back from the sub-fit into the parent.
+    _REFIT_RESULT_COLUMNS = (
+        "_normed_means",
+        "genewise_dispersions",
+        "fitted_dispersions",
+        "dispersions",
+    )
 
     def _refit_without_outliers(self) -> None:
         """Re-run the pipeline on replaced genes, reusing trend and prior.
 
-        Parity: reference pydeseq2/dds.py:1360-1458 (sub-dataset refit).
+        Behavior parity: reference pydeseq2/dds.py:1360-1458. Genes that
+        became all-zero after replacement are dropped from the refit and get
+        neutral results; the rest go through a sub-:class:`DeseqDataSet`
+        running genewise -> MAP -> LFC with the parent's trend curve and
+        dispersion prior injected.
         """
         assert self.refit_cooks, (
-            "Trying to refit Cooks outliers but the 'refit_cooks' flag is "
-            "set to False"
+            "refit was requested but refit_cooks is disabled on this dataset."
         )
         if "replaced" not in self.var:
             self._replace_outliers()
 
-        new_all_zeroes = (self.counts_to_refit.X == 0).all(axis=0)
-        self.new_all_zeroes_genes = self.counts_to_refit.var_names[new_all_zeroes]
+        went_all_zero = (self.counts_to_refit.X == 0).all(axis=0)
+        self.new_all_zeroes_genes = self.counts_to_refit.var_names[went_all_zero]
 
-        self.var["refitted"] = self.var["replaced"].copy()
-        self.var.loc[self.var["refitted"], "refitted"] = ~new_all_zeroes
+        refitted = self.var["replaced"].values.copy()
+        refitted[refitted] = ~went_all_zero
+        self.var["refitted"] = refitted
 
-        if new_all_zeroes.sum() > 0:
+        if went_all_zero.any():
             self.var.loc[self.new_all_zeroes_genes, "_normed_means"] = 0
             self.varm["LFC"].loc[self.new_all_zeroes_genes, :] = 0
 
-        if self.var["refitted"].sum() == 0:
+        if not refitted.any():
             return
 
-        self.counts_to_refit = self.counts_to_refit.subset_genes(
-            ~new_all_zeroes
-        )
+        self.counts_to_refit = self.counts_to_refit.subset_genes(~went_all_zero)
+        sub = self._spawn_refit_pipeline(self.counts_to_refit)
 
-        sub_dds = DeseqDataSet(
+        # Merge the sub-fit results back into the parent slots.
+        for col in self._REFIT_RESULT_COLUMNS:
+            self.var.loc[refitted, col] = sub.var[col].values
+        self.varm["LFC"].loc[refitted, :] = sub.varm["LFC"].values
+
+        # Refitted genes no longer count as Cook's outliers in replaceable
+        # samples: zero their distances in a dedicated layer.
+        masked_cooks = self.layers["cooks"].copy()
+        masked_cooks[np.ix_(self.obs["replaceable"].values, np.where(refitted)[0])] = 0.0
+        self.layers["replace_cooks"] = masked_cooks
+
+    def _spawn_refit_pipeline(self, subset) -> "DeseqDataSet":
+        """Run genewise -> MAP -> LFC on a gene subset with inherited trend/prior."""
+        sub = DeseqDataSet(
             counts=pd.DataFrame(
-                self.counts_to_refit.X,
-                index=self.counts_to_refit.obs_names,
-                columns=self.counts_to_refit.var_names,
+                subset.X, index=subset.obs_names, columns=subset.var_names
             ),
             metadata=self.obs,
             design=self.design,
@@ -732,48 +773,20 @@ class DeseqDataSet(DeseqDataContainer):
             inference=self.inference,
             quiet=self.quiet,
         )
+        sub.obs["size_factors"] = self.obs["size_factors"].values
+        sub.layers["normed_counts"] = sub.X / sub.obs["size_factors"].values[:, None]
 
-        sub_dds.obs["size_factors"] = self.obs["size_factors"].values
-        sub_dds.layers["normed_counts"] = (
-            sub_dds.X / sub_dds.obs["size_factors"].values[:, None]
-        )
+        sub.fit_genewise_dispersions()
 
-        sub_dds.fit_genewise_dispersions()
+        for key in self._REFIT_INHERITED_UNS:
+            if key in self.uns:
+                sub.uns[key] = self.uns[key]
+        sub.var["_normed_means"] = sub.layers["normed_counts"].mean(0)
+        sub.var["fitted_dispersions"] = sub.disp_function(sub.var["_normed_means"])
 
-        sub_dds.uns["disp_function_type"] = self.uns["disp_function_type"]
-        if sub_dds.uns["disp_function_type"] == "parametric":
-            sub_dds.uns["trend_coeffs"] = self.uns["trend_coeffs"]
-        elif sub_dds.uns["disp_function_type"] == "mean":
-            sub_dds.uns["mean_disp"] = self.uns["mean_disp"]
-        sub_dds.var["_normed_means"] = sub_dds.layers["normed_counts"].mean(0)
-        sub_dds.var["fitted_dispersions"] = sub_dds.disp_function(
-            sub_dds.var["_normed_means"]
-        )
-
-        sub_dds.uns["_squared_logres"] = self.uns["_squared_logres"]
-        sub_dds.uns["prior_disp_var"] = self.uns["prior_disp_var"]
-
-        sub_dds.fit_MAP_dispersions()
-        sub_dds.fit_LFC()
-
-        refitted_mask = self.var["refitted"].values
-        self.var.loc[refitted_mask, "_normed_means"] = sub_dds.var[
-            "_normed_means"
-        ].values
-        self.varm["LFC"].loc[refitted_mask, :] = sub_dds.varm["LFC"].values
-        self.var.loc[refitted_mask, "genewise_dispersions"] = sub_dds.var[
-            "genewise_dispersions"
-        ].values
-        self.var.loc[refitted_mask, "fitted_dispersions"] = sub_dds.var[
-            "fitted_dispersions"
-        ].values
-        self.var.loc[refitted_mask, "dispersions"] = sub_dds.var[
-            "dispersions"
-        ].values
-
-        self.layers["replace_cooks"] = self.layers["cooks"].copy()
-        for col in np.where(self.var["refitted"])[0]:
-            self.layers["replace_cooks"][self.obs["replaceable"].values, col] = 0.0
+        sub.fit_MAP_dispersions()
+        sub.fit_LFC()
+        return sub
 
     # ------------------------------------------------------------------- VST
     def vst(
@@ -814,16 +827,10 @@ class DeseqDataSet(DeseqDataContainer):
                 )
                 self.fit_genewise_dispersions(vst=True)
         else:
-            buffer = self.obsm["design_matrix"].copy()
-            self.obsm["design_matrix"] = pd.DataFrame(
-                1, index=self.obs_names, columns=["Intercept"]
-            )
-            try:
+            with self._intercept_only_design():
                 self.fit_genewise_dispersions(vst=True)
                 if self.vst_fit_type == "parametric":
                     self._fit_parametric_dispersion_trend(vst=True)
-            finally:
-                self.obsm["design_matrix"] = buffer
 
     def vst_transform(self, counts: np.ndarray | None = None) -> np.ndarray:
         """Apply the fitted VST to counts.
@@ -907,31 +914,32 @@ class DeseqDataSet(DeseqDataContainer):
         )
 
     def _fit_parametric_dispersion_trend(self, vst: bool = False):
-        """Iterated gamma-GLM fit of alpha(mu) = a1/mu + a0 with outlier
-        exclusion. Parity: reference pydeseq2/dds.py:1199-1275.
+        """Iterated gamma-GLM fit of alpha(mu) = a1/mu + a0.
+
+        Behavior parity: reference pydeseq2/dds.py:1199-1275. Alternates
+        gamma-GLM fits with exclusion of genes whose dispersion is far off
+        the fitted curve (ratio < 1e-4 or >= 15) until successive
+        coefficient vectors agree to 1e-6 in squared log-distance; falls
+        back to the mean trend when a fit fails or degenerates.
         """
-        disp_param_name = "vst_genewise_dispersions" if vst else "genewise_dispersions"
-        if disp_param_name not in self.var:
+        disp_col = "vst_genewise_dispersions" if vst else "genewise_dispersions"
+        if disp_col not in self.var:
             self.fit_genewise_dispersions(vst)
 
-        targets = self.var.loc[self.non_zero_genes, disp_param_name].copy()
-        covariates = 1 / self.var.loc[self.non_zero_genes, "_normed_means"]
+        alphas = self.var.loc[self.non_zero_genes, disp_col].values
+        means = self.var.loc[self.non_zero_genes, "_normed_means"].values
+        with np.errstate(divide="ignore"):
+            inv_means = 1.0 / means
+        usable = np.isfinite(inv_means) & ~np.isnan(alphas)
+        alphas, inv_means = alphas[usable], inv_means[usable]
 
-        finite = np.isfinite(covariates.values) & ~np.isnan(targets.values)
-        targets = targets[finite]
-        covariates = covariates[finite]
-
-        old_coeffs = pd.Series([0.1, 0.1])
-        coeffs = pd.Series([1.0, 1.0])
-        while (coeffs > 1e-10).all() and (
-            np.log(np.abs(coeffs / old_coeffs)) ** 2
-        ).sum() >= 1e-6:
-            old_coeffs = coeffs
-            coeffs_arr, predictions, converged = (
-                self.inference.dispersion_trend_gamma_glm(covariates, targets)
+        coeffs = np.array([1.0, 1.0])  # drift sentinel, matching the reference
+        while True:
+            fitted, predictions, glm_ok = self.inference.dispersion_trend_gamma_glm(
+                pd.Series(inv_means), pd.Series(alphas)
             )
-            coeffs = pd.Series(coeffs_arr)
-            if not converged or (coeffs <= 1e-10).any():
+            fitted = np.asarray(fitted, dtype=float)
+            if not glm_ok or (fitted <= 1e-10).any():
                 warnings.warn(
                     "The dispersion trend curve fitting did not converge. "
                     "Switching to a mean-based dispersion trend.",
@@ -940,22 +948,20 @@ class DeseqDataSet(DeseqDataContainer):
                 )
                 self._fit_mean_dispersion_trend(vst)
                 return
+            drift = float(np.sum(np.log(np.abs(fitted / coeffs)) ** 2))
+            coeffs = fitted
 
-            pred_ratios = (
-                self.var.loc[covariates.index, disp_param_name] / predictions
-            )
-            keep = ~((pred_ratios < 1e-4) | (pred_ratios >= 15))
-            targets = targets[keep.values]
-            covariates = covariates[keep.values]
+            ratio = alphas / np.asarray(predictions)
+            on_curve = (ratio >= 1e-4) & (ratio < 15)
+            alphas, inv_means = alphas[on_curve], inv_means[on_curve]
+            if drift < 1e-6:
+                break
 
-        if vst:
-            self.uns["vst_trend_coeffs"] = pd.Series(
-                coeffs.values, index=["a0", "a1"]
-            )
-        else:
-            self.uns["trend_coeffs"] = pd.Series(coeffs.values, index=["a0", "a1"])
-            self.var["fitted_dispersions"] = np.full(self.n_vars, np.nan)
+        key = "vst_trend_coeffs" if vst else "trend_coeffs"
+        self.uns[key] = pd.Series(coeffs, index=["a0", "a1"])
+        if not vst:
             self.uns["disp_function_type"] = "parametric"
+            self.var["fitted_dispersions"] = np.full(self.n_vars, np.nan)
             self.var.loc[self.var["non_zero"], "fitted_dispersions"] = (
                 self.disp_function(
                     self.var.loc[self.var["non_zero"], "_normed_means"]
@@ -977,76 +983,92 @@ class DeseqDataSet(DeseqDataContainer):
             self.uns["disp_function_type"] = "mean"
         self.var["fitted_dispersions"] = np.full(self.n_vars, self.uns["mean_disp"])
 
-    def _fit_iterate_size_factors(self, niter: int = 10, quant: float = 0.95) -> None:
-        """MLE size factors for zero-rich datasets (iterative mode).
+    @contextmanager
+    def _intercept_only_design(self):
+        """Temporarily swap the design matrix for an intercept-only column.
 
-        Parity: reference pydeseq2/dds.py:1460-1548 (Powell optimization on
-        the quantile-trimmed NB likelihood).
+        Used by blind VST and the iterative size-factor estimator (reference
+        pydeseq2/dds.py:424-436,1478-1484 use an explicit buffer variable).
+        """
+        saved = self.obsm["design_matrix"]
+        self.obsm["design_matrix"] = pd.DataFrame(
+            1, index=self.obs_names, columns=["Intercept"]
+        )
+        try:
+            yield
+        finally:
+            self.obsm["design_matrix"] = saved
+
+    def _fit_iterate_size_factors(self, niter: int = 10, quant: float = 0.95) -> None:
+        """Trimmed-likelihood MLE size factors for zero-rich datasets.
+
+        Behavior parity: reference pydeseq2/dds.py:1460-1548. Alternates (a)
+        an intercept-only dispersion fit at the current size factors with (b)
+        a Powell search over per-sample log size factors minimising the NB
+        likelihood of the best ``quant``-fraction of genes, until the
+        log-size-factor update is small.
         """
         from scipy.optimize import minimize
 
         self.obs["size_factors"] = np.ones(self.n_obs)
         self.layers["normed_counts"] = self.X.astype(float)
 
-        buffer = self.obsm["design_matrix"].copy()
-        self.obsm["design_matrix"] = pd.DataFrame(
-            1, index=self.obs_names, columns=["Intercept"]
-        )
-
-        def objective(p):
-            sf = np.exp(p - np.mean(p))
-            nz = self.var["non_zero"].values
-            mu = (
-                self.layers["_mu_hat"][:, nz]
-                / self.obs["size_factors"].values[:, None]
-                * sf[:, None]
-            )
-            nll = nb_nll_numpy(
-                self.X[:, nz], mu, self.var.loc[nz, "dispersions"].values
-            )
-            return np.sum(nll[nll < np.quantile(nll, quant)])
-
-        try:
-            for i in range(niter):
+        with self._intercept_only_design():
+            for it in range(niter):
                 self.fit_genewise_dispersions()
-                use_for_mean = (
+                informative = (
                     self.var["genewise_dispersions"] > 10 * self.min_disp
                 ) & self.var["non_zero"]
-                if use_for_mean.sum() == 0:
+                if not informative.any():
                     print(
                         "No genes have a dispersion above 10 * min_disp in "
                         "_fit_iterate_size_factors.",
                         file=sys.stderr,
                     )
                     break
-                mean_disp = float(
-                    stats_ops.scipy_style_trim_mean(
-                        self.var.loc[use_for_mean, "genewise_dispersions"].values,
-                        proportiontocut=0.001,
-                    )
+                self.var["fitted_dispersions"] = np.full(
+                    self.n_vars,
+                    float(
+                        stats_ops.scipy_style_trim_mean(
+                            self.var.loc[informative, "genewise_dispersions"].values,
+                            proportiontocut=0.001,
+                        )
+                    ),
                 )
-                self.var["fitted_dispersions"] = np.ones(self.n_vars) * mean_disp
                 self.fit_dispersion_prior()
                 self.fit_MAP_dispersions()
-                old_sf = self.obs["size_factors"].copy()
 
-                res = minimize(objective, np.log(old_sf), method="Powell")
-                self.obs["size_factors"] = np.exp(res.x - np.mean(res.x))
+                # Size-factor-free baseline means: mu_hat was fitted under the
+                # current size factors, so divide them back out once and let
+                # the optimizer rescale per candidate.
+                log_sf0 = np.log(self.obs["size_factors"].values)
+                nz = self.var["non_zero"].values
+                counts_nz = self.X[:, nz]
+                base_mu = (
+                    self.layers["_mu_hat"][:, nz] * np.exp(-log_sf0)[:, None]
+                )
+                disp_nz = self.var.loc[nz, "dispersions"].values
 
-                if not res.success:
+                def trimmed_nll(log_sf: np.ndarray) -> float:
+                    sf = np.exp(log_sf - log_sf.mean())
+                    per_gene = nb_nll_numpy(counts_nz, base_mu * sf[:, None], disp_nz)
+                    keep = per_gene < np.quantile(per_gene, quant)
+                    return float(per_gene[keep].sum())
+
+                best = minimize(trimmed_nll, log_sf0, method="Powell")
+                log_sf = best.x - best.x.mean()
+                self.obs["size_factors"] = np.exp(log_sf)
+
+                if not best.success:
                     print("A size factor fitting iteration failed.", file=sys.stderr)
                     break
-                if (i > 1) and np.sum(
-                    (np.log(old_sf) - np.log(self.obs["size_factors"])) ** 2
-                ) < 1e-4:
+                if it > 1 and np.sum((log_sf0 - log_sf) ** 2) < 1e-4:
                     break
-                elif i == niter - 1:
+                if it == niter - 1:
                     print(
                         "Iterative size factor fitting did not converge.",
                         file=sys.stderr,
                     )
-        finally:
-            self.obsm["design_matrix"] = buffer
 
         self.layers["normed_counts"] = (
             self.X / self.obs["size_factors"].values[:, None]

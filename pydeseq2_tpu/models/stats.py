@@ -1,8 +1,22 @@
-"""DeseqStats: Wald tests, filtering, BH adjustment, apeGLM shrinkage.
+"""Statistics layer: Wald tests, multiplicity control, apeGLM shrinkage.
 
-Parity target (reference, owkin/PyDESeq2): pydeseq2/ds.py:19-601. Heavy math
-(Wald tests over all genes, the 50 BH passes of independent filtering, the
-apeGLM MAP fits) runs as batched device kernels; pandas only labels results.
+Behavioral parity target: the reference's ``DeseqStats`` (owkin/PyDESeq2,
+pydeseq2/ds.py:19-601) — same public attribute surface (``results_df``,
+``p_values``, ``statistics``, ``SE``, ``padj``, ``LFC``, ``base_mean``) and
+same statistical semantics, but organised differently:
+
+- All statistics are computed from a read-only *array snapshot* of the fitted
+  dataset taken once per run (``_snapshot``); pandas labels are attached only
+  at the edge when results are published.
+- The Wald pass is memoised on its hypothesis key ``(lfc_null,
+  alt_hypothesis)`` so ``summary(lfc_null=..., alt_hypothesis=...)`` reruns
+  exactly when the hypothesis changes.
+- Multiplicity control (plain BH and the 50-cutoff independent-filtering
+  sweep) is one device program over a (cutoffs, genes) mask stack
+  (``ops.stats.bh_adjust_masked`` + ``lowess_device``); the reference loops 50
+  scipy BH calls on the host (ds.py:486-527).
+- The apeGLM prior variance is found with a plain bisection on the fixed-point
+  residual (no scipy root_scalar).
 """
 
 from __future__ import annotations
@@ -10,7 +24,7 @@ from __future__ import annotations
 import sys
 import time
 import warnings
-from typing import Literal
+from typing import Literal, NamedTuple
 
 import numpy as np
 import pandas as pd
@@ -20,11 +34,117 @@ from pydeseq2_tpu.jax_inference import JaxInference
 from pydeseq2_tpu.models.dataset import DeseqDataSet
 from pydeseq2_tpu.ops import stats as stats_ops
 
+LN2 = float(np.log(2.0))
+
+_TWO_SIDED_ALTS = frozenset({"greaterAbs", "lessAbs"})
+
+
+def _require_positive_null(lfc_null: float, alt_hypothesis: str | None) -> None:
+    """Absolute-value alternatives need a non-negative null LFC."""
+    if alt_hypothesis in _TWO_SIDED_ALTS and lfc_null < 0:
+        raise ValueError(
+            f"lfc_null must be >= 0 under the '{alt_hypothesis}' alternative "
+            f"hypothesis; got {lfc_null}."
+        )
+
+
+class _WaldArrays(NamedTuple):
+    """Raw per-gene Wald outputs, before labeling/masking."""
+
+    p: np.ndarray
+    stat: np.ndarray
+    se: np.ndarray
+
+
+def _independent_filter_padj(
+    p_values: np.ndarray,
+    base_mean: np.ndarray,
+    alpha: float,
+    n_cutoffs: int = 50,
+) -> np.ndarray:
+    """Adjusted p-values with base-mean independent filtering.
+
+    Semantics follow the reference (pydeseq2/ds.py:486-527): sweep
+    ``n_cutoffs`` base-mean quantile thresholds, BH-adjust the surviving genes
+    at each, smooth the rejection counts with lowess(frac=1/5), and keep the
+    first threshold whose rejection count clears max - sqrt(MSE). All BH
+    passes run as a single batched device program.
+    """
+    zero_frac = float(np.mean(base_mean == 0))
+    hi = 0.95 if zero_frac < 0.95 else 1.0
+    quantiles = np.linspace(zero_frac, hi, n_cutoffs)
+    thresholds = np.quantile(base_mean, quantiles)
+
+    testable = ~np.isnan(p_values)
+    survives = (base_mean[None, :] >= thresholds[:, None]) & testable[None, :]
+    p_filled = np.broadcast_to(np.nan_to_num(p_values, nan=1.0), survives.shape)
+    padj_per_cutoff = np.asarray(stats_ops.bh_adjust_masked(p_filled, survives))
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        n_rej = np.nansum(padj_per_cutoff < alpha, axis=1).astype(int)
+
+    chosen = 0
+    if n_rej.max() > 10:
+        smooth = np.asarray(stats_ops.lowess_device(quantiles, n_rej, frac=1 / 5))
+        nonzero = n_rej > 0
+        rmse = np.sqrt(np.mean((n_rej[nonzero] - smooth[nonzero]) ** 2))
+        clears = n_rej > (smooth.max() - rmse)
+        if clears.any():
+            chosen = int(np.argmax(clears))
+
+    return padj_per_cutoff[chosen]
+
+
+def _bh_padj(p_values: np.ndarray) -> np.ndarray:
+    """Plain Benjamini-Hochberg over the non-NaN p-values (no filtering)."""
+    testable = ~np.isnan(p_values)
+    return np.asarray(
+        stats_ops.bh_adjust_masked(np.nan_to_num(p_values, nan=1.0), testable)
+    )
+
+
+def _apeglm_prior_variance(
+    mle_lfc: np.ndarray,
+    se: np.ndarray,
+    lo: float = 1e-6,
+    hi: float = 400.0,
+    iters: int = 80,
+) -> float:
+    """apeGLM adaptive prior variance (reference pydeseq2/ds.py:552-588).
+
+    Solves g(a) = sum_i w_i(a) (S_i - D_i) / sum_i w_i(a) - a = 0 with
+    w_i = (a + D_i)^-2, where S = squared MLE LFCs and D = squared SEs, by
+    bisection on [lo, hi] (g is continuous; g(lo) < 0 short-circuits to lo as
+    in the reference). ~80 halvings reach ~1e-15 relative width, far below
+    the 2% conformance tolerance.
+    """
+    ok = ~np.isnan(mle_lfc)
+    S = np.square(mle_lfc[ok])
+    D = np.square(se[ok])
+
+    def resid(a: float) -> float:
+        w = 1.0 / np.square(a + D)
+        return float((w * (S - D)).sum() / w.sum()) - a
+
+    if resid(lo) < 0:
+        return lo
+    a_lo, a_hi = lo, hi
+    for _ in range(iters):
+        mid = 0.5 * (a_lo + a_hi)
+        if resid(mid) > 0:
+            a_lo = mid
+        else:
+            a_hi = mid
+    return 0.5 * (a_lo + a_hi)
+
 
 class DeseqStats:
     """Differential-expression statistics on a fitted :class:`DeseqDataSet`.
 
-    Parameters mirror the reference class (pydeseq2/ds.py:131-146).
+    Public API (constructor signature, ``summary()``, ``run_wald_test()``,
+    ``lfc_shrink()``, ``plot_MA()``, result attributes) matches the reference
+    class (pydeseq2/ds.py:131-223) so downstream code is drop-in portable.
     """
 
     def __init__(
@@ -44,131 +164,137 @@ class DeseqStats:
         n_cpus: int | None = None,
     ) -> None:
         assert "LFC" in dds.varm, (
-            "Please provide a fitted DeseqDataSet by first running the "
-            "`deseq2` method."
+            "The DeseqDataSet is not fitted - run its `deseq2` method before "
+            "constructing DeseqStats."
         )
+        if dds.refit_cooks and "replaced" not in dds.var:
+            raise AttributeError(
+                "refit_cooks is enabled on the dataset but outliers were never "
+                "refitted; call dds.refit() (or construct with "
+                "refit_cooks=False)."
+            )
+        _require_positive_null(lfc_null, alt_hypothesis)
 
         self.dds = dds
         self.alpha = alpha
         self.cooks_filter = cooks_filter
         self.independent_filter = independent_filter
-        self.base_mean = self.dds.var["_normed_means"].copy()
         self.prior_LFC_var = prior_LFC_var
-
-        if lfc_null < 0 and alt_hypothesis in {"greaterAbs", "lessAbs"}:
-            raise ValueError(
-                f"The alternative hypothesis being {alt_hypothesis}, please "
-                f"provide a positive lfc_null value (got {lfc_null}).",
-            )
         self.lfc_null = lfc_null
         self.alt_hypothesis = alt_hypothesis
+        self.quiet = quiet
 
-        self.design_matrix = self.dds.obsm["design_matrix"].copy()
-        self.LFC = self.dds.varm["LFC"].copy()
+        # Labeled working copies; lfc_shrink edits these in place.
+        self.base_mean = dds.var["_normed_means"].copy()
+        self.design_matrix = dds.obsm["design_matrix"].copy()
+        self.LFC = dds.varm["LFC"].copy()
 
+        self.contrast = self._resolve_contrast(contrast)
+        self.shrunk_LFCs = False
+        self.inference = inference or JaxInference()
+        if inference is not None and n_cpus is not None:
+            if hasattr(inference, "n_cpus"):
+                inference.n_cpus = n_cpus
+            else:
+                warnings.warn(
+                    "n_cpus was given but the inference backend has no n_cpus "
+                    "attribute; ignoring it.",
+                    UserWarning,
+                    stacklevel=2,
+                )
+
+        # Wald memo: the hypothesis key the stored arrays were computed under.
+        self._wald_key: tuple[float, str | None] | None = None
+
+    # ------------------------------------------------------------- contrast
+    def _resolve_contrast(self, contrast) -> np.ndarray | list:
+        """Accept a numeric contrast vector or a (factor, test, ref) triplet.
+
+        Sets ``self.contrast_vector``; reference semantics at
+        pydeseq2/ds.py:174-190,590-601.
+        """
         if contrast is None:
             raise ValueError(
-                'Default contrasts are no longer supported. The "contrast" '
-                "argument must be provided."
+                "A contrast is required: pass ['factor', 'tested_level', "
+                "'ref_level'] or a numeric vector of length n_design_columns."
             )
-        elif isinstance(contrast, np.ndarray):
-            if contrast.shape[0] != self.dds.obsm["design_matrix"].shape[1]:
+        if isinstance(contrast, np.ndarray):
+            n_cols = self.design_matrix.shape[1]
+            if contrast.shape[0] != n_cols:
                 raise ValueError(
-                    "The contrast vector must have the same length as the "
-                    "design matrix."
+                    f"Contrast vector length {contrast.shape[0]} != number of "
+                    f"design columns {n_cols}."
                 )
-            self.contrast = contrast
             self.contrast_vector = contrast
-        else:
-            self.contrast = contrast
-            self._build_contrast_vector()
-
-        self.shrunk_LFCs = False
-        self.quiet = quiet
-        self.inference = inference or JaxInference()
-
-        if self.dds.refit_cooks and "replaced" not in self.dds.var:
-            raise AttributeError(
-                "dds has 'refit_cooks' set to True but Cooks outliers have "
-                "not been refitted. Please run 'dds.refit()' first or set "
-                "'dds.refit_cooks' to False."
-            )
+            return contrast
+        factor, tested, ref = contrast
+        self.contrast_vector = self.dds.contrast(
+            column=factor, baseline=ref, group_to_compare=tested
+        )
+        return contrast
 
     @property
     def variables(self):
         """Names of the variables in the model definition."""
         return self.dds.variables
 
-    # ----------------------------------------------------------------- summary
+    # --------------------------------------------------------------- summary
     def summary(self, **kwargs) -> None:
-        """Run the statistical analysis; results land in ``results_df``.
+        """Run the analysis and publish ``results_df``.
 
-        Parity: reference pydeseq2/ds.py:223-301.
+        ``lfc_null`` / ``alt_hypothesis`` keyword overrides update the stored
+        hypothesis and force a Wald rerun (reference pydeseq2/ds.py:223-301).
         """
-        new_lfc_null = kwargs.get("lfc_null", "default")
-        new_alt_hypothesis = kwargs.get("alt_hypothesis", "default")
+        if "lfc_null" in kwargs:
+            self.lfc_null = kwargs["lfc_null"]
+        if "alt_hypothesis" in kwargs:
+            self.alt_hypothesis = kwargs["alt_hypothesis"]
+        _require_positive_null(self.lfc_null, self.alt_hypothesis)
 
-        rerun_summary = False
-        lfc_null = self.lfc_null if new_lfc_null == "default" else new_lfc_null
-        alt_hypothesis = (
-            self.alt_hypothesis
-            if new_alt_hypothesis == "default"
-            else new_alt_hypothesis
-        )
-        if lfc_null < 0 and alt_hypothesis in {"greaterAbs", "lessAbs"}:
-            raise ValueError(
-                f"The alternative hypothesis being {alt_hypothesis}, please "
-                f"provide a positive lfc_null value (got {lfc_null}).",
-            )
-
-        if (
-            not hasattr(self, "p_values")
-            or self.lfc_null != lfc_null
-            or self.alt_hypothesis != alt_hypothesis
-        ):
-            self.lfc_null = lfc_null
-            self.alt_hypothesis = alt_hypothesis
-            rerun_summary = True
+        key = (self.lfc_null, self.alt_hypothesis)
+        wald_reran = False
+        if self._wald_key != key:
             self.run_wald_test()
+            wald_reran = True
 
         if self.cooks_filter:
             self._cooks_filtering()
 
-        if not hasattr(self, "padj") or rerun_summary:
+        if wald_reran or not hasattr(self, "padj"):
             if self.independent_filter:
                 self._independent_filtering()
             else:
                 self._p_value_adjustment()
 
-        self.results_df = pd.DataFrame(index=self.dds.var_names)
-        self.results_df["baseMean"] = self.base_mean
-        self.results_df["log2FoldChange"] = (
-            self.LFC @ self.contrast_vector / np.log(2)
+        self.results_df = pd.DataFrame(
+            {
+                "baseMean": self.base_mean,
+                "log2FoldChange": self.LFC @ self.contrast_vector / LN2,
+                "lfcSE": self.SE / LN2,
+                "stat": self.statistics,
+                "pvalue": self.p_values,
+                "padj": self.padj,
+            },
+            index=self.dds.var_names,
         )
-        self.results_df["lfcSE"] = self.SE / np.log(2)
-        self.results_df["stat"] = self.statistics
-        self.results_df["pvalue"] = self.p_values
-        self.results_df["padj"] = self.padj
 
         if not self.quiet:
             if isinstance(self.contrast, np.ndarray):
-                print(
+                header = (
                     f"Log2 fold change & Wald test p-value, contrast vector: "
                     f"{self.contrast}"
                 )
             else:
-                print(
+                factor, tested, ref = self.contrast
+                header = (
                     f"Log2 fold change & Wald test p-value: "
-                    f"{self.contrast[0]} {self.contrast[1]} vs {self.contrast[2]}"
+                    f"{factor} {tested} vs {ref}"
                 )
+            print(header)
             print(self.results_df)
 
     def run_wald_test(self) -> None:
-        """Batched Wald tests for all genes.
-
-        Parity: reference pydeseq2/ds.py:303-360.
-        """
-        num_vars = self.design_matrix.shape[1]
+        """Per-gene Wald tests under the current hypothesis (one device pass)."""
         if self.shrunk_LFCs and not self.quiet:
             print(
                 "Note: running Wald test on shrunk LFCs. Some sequencing "
@@ -177,216 +303,154 @@ class DeseqStats:
                 file=sys.stderr,
             )
 
-        mu = (
-            np.exp(self.design_matrix @ self.LFC.T)
-            .multiply(self.dds.obs["size_factors"], 0)
-            .values
-        )
+        res = self._compute_wald(self.lfc_null, self.alt_hypothesis)
+        self._wald_key = (self.lfc_null, self.alt_hypothesis)
+
+        genes = self.dds.var_names
+        self.p_values = pd.Series(res.p, index=genes)
+        self.statistics = pd.Series(res.stat, index=genes)
+        self.SE = pd.Series(res.se, index=genes)
+
+    def _compute_wald(self, lfc_null: float, alt_hypothesis: str | None) -> _WaldArrays:
+        """Array-level Wald pass, including the refit-all-zero neutralisation."""
+        design = self.design_matrix.values
+        lfc = self.LFC.values
+        sf = self.dds.obs["size_factors"].values
+        mu = np.exp(design @ lfc.T) * sf[:, None]
 
         if self.prior_LFC_var is not None:
-            ridge_factor = np.diag(1 / self.prior_LFC_var**2)
+            ridge = np.diag(1.0 / np.square(self.prior_LFC_var))
         else:
-            ridge_factor = np.diag(np.repeat(1e-6, num_vars))
+            ridge = 1e-6 * np.eye(design.shape[1])
 
         if not self.quiet:
             print("Running Wald tests...", file=sys.stderr)
-        start = time.time()
-        pvals, stats, se = self.inference.wald_test(
-            design_matrix=self.design_matrix.values,
+        t0 = time.time()
+        p, stat, se = self.inference.wald_test(
+            design_matrix=design,
             disp=self.dds.var["dispersions"].values,
-            lfc=self.LFC.values,
+            lfc=lfc,
             mu=mu,
-            ridge_factor=ridge_factor,
+            ridge_factor=ridge,
             contrast=self.contrast_vector,
-            lfc_null=np.log(2) * self.lfc_null,  # log2 -> natural log
-            alt_hypothesis=self.alt_hypothesis,
+            lfc_null=LN2 * lfc_null,  # results are log2; kernels run in ln
+            alt_hypothesis=alt_hypothesis,
         )
         if not self.quiet:
-            print(f"... done in {time.time() - start:.2f} seconds.\n", file=sys.stderr)
+            print(f"... done in {time.time() - t0:.2f} seconds.\n", file=sys.stderr)
 
-        self.p_values = pd.Series(pvals, index=self.dds.var_names)
-        self.statistics = pd.Series(stats, index=self.dds.var_names)
-        self.SE = pd.Series(se, index=self.dds.var_names)
-
-        # All-zero genes after outlier replacement get neutral statistics
-        # (reference pydeseq2/ds.py:356-360).
+        p, stat, se = (np.asarray(a, dtype=float).copy() for a in (p, stat, se))
+        # Genes that went all-zero during outlier replacement carry neutral
+        # statistics (reference pydeseq2/ds.py:356-360).
         if self.dds.refit_cooks and self.dds.var["replaced"].sum() > 0:
-            self.SE.loc[self.dds.new_all_zeroes_genes] = 0.0
-            self.statistics.loc[self.dds.new_all_zeroes_genes] = 0.0
-            self.p_values.loc[self.dds.new_all_zeroes_genes] = 1.0
+            dead = self.dds.var_names.get_indexer(self.dds.new_all_zeroes_genes)
+            se[dead] = 0.0
+            stat[dead] = 0.0
+            p[dead] = 1.0
+        return _WaldArrays(p=p, stat=stat, se=se)
 
     # ------------------------------------------------------------- shrinkage
     def lfc_shrink(self, coeff: str, adapt: bool = True) -> None:
-        """apeGLM LFC shrinkage of one coefficient (batched MAP fits).
+        """Shrink one LFC coefficient with the apeGLM Cauchy prior.
 
-        Parity: reference pydeseq2/ds.py:363-447.
+        Batched MAP fits on device; p-values are left untouched
+        (reference pydeseq2/ds.py:363-447).
         """
         if coeff not in self.LFC.columns:
             raise KeyError(
-                f"The coeff argument '{coeff}' should be one the LFC columns. "
-                f"The available LFC coeffs are {self.LFC.columns[1:]}."
+                f"'{coeff}' is not an LFC coefficient; choose from "
+                f"{list(self.LFC.columns[1:])}."
             )
-        coeff_idx = self.LFC.columns.get_loc(coeff)
+        shrink_idx = int(self.LFC.columns.get_loc(coeff))
 
-        size = 1.0 / self.dds.var["dispersions"].values
-        offset = np.log(self.dds.obs["size_factors"].values)
-
-        prior_no_shrink_scale = 15
-        prior_scale = 1
+        prior_scale = 1.0
         if adapt:
-            prior_var = self._fit_prior_var(coeff_idx=coeff_idx)
-            prior_scale = np.minimum(np.sqrt(prior_var), 1)
+            prior_var = _apeglm_prior_variance(
+                self.LFC.values[:, shrink_idx], self.SE.values
+            )
+            prior_scale = min(np.sqrt(prior_var), 1.0)
+
+        nz_pos = self.dds.var_names.get_indexer(self.dds.non_zero_genes)
+        dispersions = self.dds.var["dispersions"].values
 
         if not self.quiet:
             print("Fitting MAP LFCs...", file=sys.stderr)
-        start = time.time()
-        lfcs, inv_hessians, converged = self.inference.lfc_shrink_nbinom_glm(
+        t0 = time.time()
+        map_lfc, inv_hess, converged = self.inference.lfc_shrink_nbinom_glm(
             design_matrix=self.design_matrix.values,
-            counts=self.dds.X[:, self.dds.non_zero_idx],
-            size=size[self.dds.non_zero_idx],
-            offset=offset,
-            prior_no_shrink_scale=prior_no_shrink_scale,
+            counts=self.dds.X[:, nz_pos],
+            size=1.0 / dispersions[nz_pos],
+            offset=np.log(self.dds.obs["size_factors"].values),
+            prior_no_shrink_scale=15,
             prior_scale=prior_scale,
             optimizer="L-BFGS-B",
-            shrink_index=coeff_idx,
+            shrink_index=shrink_idx,
         )
         if not self.quiet:
-            print(f"... done in {time.time() - start:.2f} seconds.\n", file=sys.stderr)
+            print(f"... done in {time.time() - t0:.2f} seconds.\n", file=sys.stderr)
 
-        # Pandas copy-on-write makes chained .iloc[...].update() a no-op, so
-        # rebuild the column explicitly.
-        col = self.LFC.columns[coeff_idx]
-        updated = self.LFC[col].copy()
-        updated.update(
-            pd.Series(np.array(lfcs)[:, coeff_idx], index=self.dds.non_zero_genes)
+        # Scatter the non-zero-gene results back into the full-length columns.
+        shrunk_col = self.LFC.values[:, shrink_idx].copy()
+        shrunk_col[nz_pos] = np.asarray(map_lfc)[:, shrink_idx]
+        self.LFC[coeff] = shrunk_col
+
+        se_full = self.SE.values.copy()
+        se_full[nz_pos] = np.sqrt(
+            np.abs(np.asarray(inv_hess)[:, shrink_idx, shrink_idx])
         )
-        self.LFC[col] = updated
-        se = self.SE.copy()
-        se.update(
-            pd.Series(
-                np.sqrt(np.abs(inv_hessians[:, coeff_idx, coeff_idx])),
-                index=self.dds.non_zero_genes,
-            )
-        )
-        self.SE = se
-        self._LFC_shrink_converged = pd.Series(np.nan, index=self.dds.var_names)
-        self._LFC_shrink_converged.update(
-            pd.Series(converged.astype(float), index=self.dds.non_zero_genes)
-        )
+        self.SE = pd.Series(se_full, index=self.dds.var_names)
+
+        conv_full = np.full(self.dds.n_vars, np.nan)
+        conv_full[nz_pos] = np.asarray(converged, dtype=float)
+        self._LFC_shrink_converged = pd.Series(conv_full, index=self.dds.var_names)
+
         self.shrunk_LFCs = True
 
         if hasattr(self, "results_df"):
-            self.results_df["log2FoldChange"] = (
-                self.LFC.iloc[:, coeff_idx] / np.log(2)
-            )
-            self.results_df["lfcSE"] = self.SE / np.log(2)
+            self.results_df["log2FoldChange"] = self.LFC[coeff] / LN2
+            self.results_df["lfcSE"] = self.SE / LN2
             if not self.quiet:
                 print(f"Shrunk log2 fold change & Wald test p-value: {coeff}")
                 print(self.results_df)
 
     # ------------------------------------------------------------- filtering
-    def _independent_filtering(self) -> None:
-        """Adjusted p-values via independent filtering over 50 base-mean
-        cutoffs, all BH passes in one batched device program.
-
-        Parity: reference pydeseq2/ds.py:486-527.
-        """
-        if not hasattr(self, "p_values"):
+    def _ensure_wald(self) -> None:
+        if self._wald_key is None:
             self.run_wald_test()
 
-        lower_quantile = np.mean(self.base_mean == 0)
-        upper_quantile = 0.95 if lower_quantile < 0.95 else 1
-        theta = np.linspace(lower_quantile, upper_quantile, 50)
-        cutoffs = np.quantile(self.base_mean, theta)
-
-        p = self.p_values.values
-        valid = ~np.isnan(p)
-        base = self.base_mean.values
-        masks = (base[None, :] >= cutoffs[:, None]) & valid[None, :]  # (50, G)
-
-        adj = np.asarray(
-            stats_ops.bh_adjust_masked(
-                np.broadcast_to(np.nan_to_num(p, nan=1.0), masks.shape), masks
-            )
-        )  # (50, G), NaN outside masks
-
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore", RuntimeWarning)
-            num_rej = np.nansum(adj < self.alpha, axis=1).astype(int)
-        lowess_res = stats_ops.lowess(theta, num_rej, frac=1 / 5)
-
-        if num_rej.max() <= 10:
-            j = 0
-        else:
-            residual = num_rej[num_rej > 0] - lowess_res[num_rej > 0]
-            thresh = lowess_res.max() - np.sqrt(np.mean(residual**2))
-            if np.any(num_rej > thresh):
-                j = np.where(num_rej > thresh)[0][0]
-            else:
-                j = 0
-
-        self.padj = pd.Series(adj[j], index=self.dds.var_names)
+    def _independent_filtering(self) -> None:
+        """padj via the batched base-mean filtering sweep."""
+        self._ensure_wald()
+        padj = _independent_filter_padj(
+            self.p_values.values, self.base_mean.values, self.alpha
+        )
+        self.padj = pd.Series(padj, index=self.dds.var_names)
 
     def _p_value_adjustment(self) -> None:
-        """Plain BH adjustment (no independent filtering).
-
-        Parity: reference pydeseq2/ds.py:529-542.
-        """
-        if not hasattr(self, "p_values"):
-            self.run_wald_test()
-        p = self.p_values.values
-        valid = ~np.isnan(p)
-        adj = np.asarray(
-            stats_ops.bh_adjust_masked(np.nan_to_num(p, nan=1.0), valid)
+        """padj via plain BH (independent filtering disabled)."""
+        self._ensure_wald()
+        self.padj = pd.Series(
+            _bh_padj(self.p_values.values), index=self.dds.var_names
         )
-        self.padj = pd.Series(adj, index=self.dds.var_names)
 
     def _cooks_filtering(self) -> None:
-        """NaN out p-values of Cook's outlier genes.
-
-        Parity: reference pydeseq2/ds.py:544-550.
-        """
-        if not hasattr(self, "p_values"):
-            self.run_wald_test()
+        """NaN out p-values of Cook's-outlier genes (reference ds.py:544-550)."""
+        self._ensure_wald()
         self.p_values[self.dds.cooks_outlier()] = np.nan
 
     def _fit_prior_var(
-        self, coeff_idx, min_var: float = 1e-6, max_var: float = 400.0
+        self, coeff_idx: int, min_var: float = 1e-6, max_var: float = 400.0
     ) -> float:
-        """apeGLM prior variance by root finding.
-
-        Parity: reference pydeseq2/ds.py:552-588 (host scalar root_scalar).
-        """
-        from scipy.optimize import root_scalar
-
-        keep = ~self.LFC.iloc[:, coeff_idx].isna()
-        S = self.LFC[keep].iloc[:, coeff_idx] ** 2
-        D = self.SE[keep] ** 2
-
-        def objective(a: float) -> float:
-            coeff = 1 / (2 * (a + D) ** 2)
-            return ((S - D) * coeff).sum() / coeff.sum() - a
-
-        if objective(min_var) < 0:
-            return min_var
-        return root_scalar(objective, bracket=(min_var, max_var)).root
-
-    def _build_contrast_vector(self) -> None:
-        """Contrast vector from ['variable', 'tested', 'ref'] triplets.
-
-        Parity: reference pydeseq2/ds.py:590-601.
-        """
-        factor, alternative, ref = self.contrast
-        self.contrast_vector = self.dds.contrast(
-            column=factor, baseline=ref, group_to_compare=alternative
+        """Kept for API compatibility; delegates to the bisection solver."""
+        return _apeglm_prior_variance(
+            self.LFC.values[:, coeff_idx], self.SE.values, lo=min_var, hi=max_var
         )
 
     def plot_MA(self, log: bool = True, save_path: str | None = None, **kwargs):
-        """MA plot of the results. Parity: reference pydeseq2/ds.py:449-484."""
+        """MA plot of the results (reference pydeseq2/ds.py:449-484)."""
         if not hasattr(self, "results_df"):
             raise AttributeError(
-                "Trying to make an MA plot but p-values were not computed "
-                "yet. Please run the summary() method first."
+                "No results to plot - run summary() before plot_MA()."
             )
         from pydeseq2_tpu.utils.plots import make_MA_plot
 

@@ -197,42 +197,3 @@ def lowess_device(
     return yests[-1]
 
 
-def lowess(features: np.ndarray, targets: np.ndarray, frac: float = 2.0 / 3.0, it: int = 3) -> np.ndarray:
-    """Robust locally-weighted linear regression (tricube weights).
-
-    Used only by independent filtering over the 50 base-mean cutoffs
-    (reference pydeseq2/ds.py:515, pydeseq2/utils.py:1379-1443), so the input
-    is tiny and this runs as plain numpy on the host.
-    """
-    features = np.asarray(features, dtype=float)
-    targets = np.asarray(targets, dtype=float)
-    n = len(features)
-    r = int(math.ceil(frac * n))
-    # Bandwidth per point: distance to the r-th nearest neighbour.
-    dists = np.abs(features[:, None] - features[None, :])
-    h = np.maximum(np.sort(dists, axis=1)[:, r], 1e-12)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        w = np.clip(np.abs(np.nan_to_num(dists / h[None, :])), 0.0, 1.0)
-    w = (1.0 - w**3) ** 3
-    yest = np.zeros(n)
-    delta = np.ones(n)
-    for _ in range(it):
-        for i in range(n):
-            weights = delta * w[:, i]
-            b = np.array([np.sum(weights * targets), np.sum(weights * targets * features)])
-            a_mat = np.array(
-                [
-                    [np.sum(weights), np.sum(weights * features)],
-                    [np.sum(weights * features), np.sum(weights * features**2)],
-                ]
-            )
-            beta = np.linalg.lstsq(a_mat, b, rcond=None)[0]
-            yest[i] = beta[0] + beta[1] * features[i]
-        residuals = targets - yest
-        s = np.median(np.abs(residuals))
-        if s == 0:
-            delta = (np.abs(residuals) > 0).astype(float)
-        else:
-            delta = np.clip(residuals / (6.0 * s), -1, 1)
-        delta = (1.0 - delta**2) ** 2
-    return yest

@@ -36,6 +36,62 @@ def deseq2_norm_fit(counts):
     return np.asarray(logmeans), np.asarray(filtered_genes)
 
 
+def poscounts_norm_fit(counts):
+    """Gene-wise log-geometric-means over *positive* counts only.
+
+    Positive-counts variant of :func:`deseq2_norm_fit` for zero-rich data
+    (single-cell / metagenomics). Zeros contribute log(1)=0 to the mean but
+    the divisor stays the full sample count, matching DESeq2's poscounts
+    definition (reference pydeseq2/dds.py:659-665). Returns ``(logmeans,
+    usable_genes)`` where a gene is usable when its logmean is finite and
+    strictly positive.
+    """
+    values = counts.to_numpy() if isinstance(counts, pd.DataFrame) else counts
+    x = jnp.asarray(values, dtype=jnp.result_type(float))
+    log_pos = jnp.where(x > 0, jnp.log(jnp.where(x > 0, x, 1.0)), 0.0)
+    logmeans = log_pos.mean(0)
+    usable = jnp.isfinite(logmeans) & (logmeans > 0)
+    return np.asarray(logmeans), np.asarray(usable)
+
+
+def poscounts_size_factors(counts, logmeans, gene_mask):
+    """Per-sample poscounts size factors as one batched device reduction.
+
+    For each sample, the size factor is exp(median of log-ratios
+    ``log x_g - logmean_g``) over the genes that are both in ``gene_mask``
+    and positive in that sample — a *ragged* per-sample median. It is
+    computed densely: excluded entries are pushed to +inf, each row is
+    sorted once, and the median is gathered at the per-row valid-count
+    midpoints. Size factors are then rescaled to geometric mean 1
+    (reference pydeseq2/dds.py:668-679 runs this as a Python loop via
+    ``np.apply_along_axis``; here it is a single (N, G) sort + gather so it
+    stays on device at any sample count).
+    """
+    values = counts.to_numpy() if isinstance(counts, pd.DataFrame) else counts
+    x = jnp.asarray(values, dtype=jnp.result_type(float))
+    logmeans = jnp.asarray(logmeans)
+    gene_mask = jnp.asarray(gene_mask, dtype=bool)
+
+    in_median = gene_mask[None, :] & (x > 0)
+    ratios = jnp.where(
+        in_median,
+        jnp.log(jnp.where(x > 0, x, 1.0)) - logmeans[None, :],
+        jnp.inf,
+    )
+    ranked = jnp.sort(ratios, axis=1)
+    n_valid = in_median.sum(axis=1)
+    lo = jnp.clip((n_valid - 1) // 2, 0)
+    hi = jnp.clip(n_valid // 2, 0)
+    med = (
+        jnp.take_along_axis(ranked, lo[:, None], axis=1)
+        + jnp.take_along_axis(ranked, hi[:, None], axis=1)
+    )[:, 0] / 2.0
+    med = jnp.where(n_valid > 0, med, jnp.nan)
+    sf = jnp.exp(med)
+    sf = sf / jnp.exp(jnp.mean(jnp.log(sf)))
+    return np.asarray(sf)
+
+
 def deseq2_norm_transform(counts, logmeans, filtered_genes):
     """Normalize ``counts`` with previously fitted ``logmeans``.
 

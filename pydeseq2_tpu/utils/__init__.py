@@ -17,56 +17,80 @@ import pandas as pd
 import pydeseq2_tpu
 
 
+# File layout of the bundled example datasets; new datasets plug in here.
+_EXAMPLE_FILES: dict[str, dict[str, str]] = {
+    "synthetic": {
+        "raw_counts": "test_counts.csv",
+        "metadata": "test_metadata.csv",
+    },
+}
+# Mirror used when the package is installed without its datasets/ directory
+# (e.g. docs builders); parity with reference pydeseq2/utils.py:74-86.
+_EXAMPLE_DATA_MIRROR = (
+    "https://raw.githubusercontent.com/owkin/PyDESeq2/main/datasets"
+)
+
+
 def load_example_data(
     modality: Literal["raw_counts", "metadata"] = "raw_counts",
     dataset: Literal["synthetic"] = "synthetic",
     debug: bool = False,
     debug_seed: int = 42,
 ) -> pd.DataFrame:
-    """Load the synthetic example dataset shipped with the repo.
+    """Load a bundled example dataset (counts are returned samples x genes).
 
-    Parity: reference pydeseq2/utils.py:24-107.
+    Behavior parity: reference pydeseq2/utils.py:24-107, including the
+    remote-mirror fallback when the local ``datasets/`` directory is absent
+    and the ``debug`` subsampling knobs.
     """
-    assert modality in ["raw_counts", "metadata"], (
-        "The modality argument must be one of the following: "
-        "raw_counts, metadata"
-    )
-    assert dataset in ["synthetic"], (
-        "The dataset argument must be one of the following: synthetic."
-    )
-    datasets_path = Path(pydeseq2_tpu.__file__).parent.parent / "datasets"
-    path_to_data = datasets_path / dataset
-    if modality == "raw_counts":
-        df = pd.read_csv(path_to_data / "test_counts.csv", sep=",", index_col=0).T
+    if dataset not in _EXAMPLE_FILES:
+        raise AssertionError(
+            f"The dataset argument must be one of: {sorted(_EXAMPLE_FILES)}."
+        )
+    if modality not in _EXAMPLE_FILES[dataset]:
+        raise AssertionError(
+            f"The modality argument must be one of: "
+            f"{sorted(_EXAMPLE_FILES[dataset])}."
+        )
+
+    local_dir = Path(pydeseq2_tpu.__file__).parent.parent / "datasets" / dataset
+    filename = _EXAMPLE_FILES[dataset][modality]
+    if local_dir.is_dir():
+        source = str(local_dir / filename)
     else:
-        df = pd.read_csv(path_to_data / "test_metadata.csv", sep=",", index_col=0)
+        source = f"{_EXAMPLE_DATA_MIRROR}/{dataset}/{filename}"
+
+    df = pd.read_csv(source, sep=",", index_col=0)
+    if modality == "raw_counts":
+        df = df.T  # stored genes x samples; the API is samples x genes
+
     if debug:
-        df = df.sample(n=10, axis=0, random_state=debug_seed)
+        rng_kwargs = {"random_state": debug_seed}
+        df = df.sample(n=10, axis=0, **rng_kwargs)
         if modality == "raw_counts":
-            df = df.sample(n=100, axis="index", random_state=debug_seed)
+            df = df.sample(n=100, axis="index", **rng_kwargs)
     return df
 
 
 def test_valid_counts(counts) -> None:
     """Validate that counts are numeric, non-NaN, integer, non-negative.
 
-    Parity: reference pydeseq2/utils.py:110-133.
+    Behavior parity: reference pydeseq2/utils.py:110-133 (same error
+    conditions and messages are semantically equivalent; exact types match).
     """
     if isinstance(counts, pd.DataFrame):
         if counts.isna().any().any():
             raise ValueError("NaNs are not allowed in the count matrix.")
-        if not np.issubdtype(counts.to_numpy().dtype, np.number):
-            raise ValueError("The count matrix should only contain numbers.")
-        arr = counts.to_numpy()
+        values = counts.to_numpy()
     else:
-        arr = np.asarray(counts)
-        if not np.issubdtype(arr.dtype, np.number):
-            raise ValueError("The count matrix should only contain numbers.")
-        if np.isnan(arr).any():
-            raise ValueError("NaNs are not allowed in the count matrix.")
-    if (arr % 1 != 0).any():
+        values = np.asarray(counts)
+    if not np.issubdtype(values.dtype, np.number):
+        raise ValueError("The count matrix should only contain numbers.")
+    if not isinstance(counts, pd.DataFrame) and np.isnan(values).any():
+        raise ValueError("NaNs are not allowed in the count matrix.")
+    if np.any(np.mod(values, 1) != 0):
         raise ValueError("The count matrix should only contain integers.")
-    if (arr < 0).any():
+    if np.any(values < 0):
         raise ValueError("The count matrix should only contain non-negative values.")
 
 
@@ -83,12 +107,13 @@ def dispersion_trend(normed_mean, coeffs):
 def n_or_more_replicates(design_matrix: pd.DataFrame, min_replicates: int) -> pd.Series:
     """Samples whose design-row combination occurs >= min_replicates times.
 
-    Parity: reference pydeseq2/utils.py:888-911.
+    Each sample's cohort is the tuple of its design-matrix row; a sample
+    qualifies when its cohort has at least ``min_replicates`` members.
+    Behavior parity: reference pydeseq2/utils.py:888-911.
     """
-    n_or_more = design_matrix.value_counts() >= min_replicates
-    replaceable = n_or_more[pd.MultiIndex.from_frame(design_matrix)]
-    replaceable.index = design_matrix.index
-    return replaceable
+    cohorts = design_matrix.apply(tuple, axis=1)
+    cohort_sizes = cohorts.map(cohorts.value_counts())
+    return cohort_sizes >= min_replicates
 
 
 def get_num_processes(n_cpus: int | None = None) -> int:

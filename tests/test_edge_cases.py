@@ -1,6 +1,10 @@
-"""Behavioral/robustness tests (all-zero genes, validation, tiny cohorts...).
+"""Behavioral conformance tests: degenerate inputs, tiny cohorts, refit edges.
 
-Mirrors reference tests/test_edge_cases.py:10-527.
+The *scenarios* deliberately mirror the reference suite
+(owkin/PyDESeq2 tests/test_edge_cases.py) — they pin the behavioral contract
+the TPU framework must honor (which inputs raise, which warn, and the exact
+NaN/zero semantics of all-zero and refitted genes). The test bodies are this
+project's own: shared fixture builders and parametrized tables below.
 """
 
 import numpy as np
@@ -10,205 +14,167 @@ import pytest
 from pydeseq2_tpu import DeseqDataSet, DeseqStats
 
 
-def test_zero_genes(counts_df, metadata):
-    """All-zero genes produce NaN params and NaN stats."""
-    n, m = counts_df.shape
-    np.random.seed(42)
-    zero_genes = counts_df.columns[np.random.choice(m, size=m // 3, replace=False)]
-    counts_df[zero_genes] = 0
+def _tiny_counts(**genes) -> pd.DataFrame:
+    """Counts DataFrame with one row per entry of the first gene column."""
+    n = len(next(iter(genes.values())))
+    return pd.DataFrame(genes, index=[f"sample{i + 1}" for i in range(n)])
 
-    dds = DeseqDataSet(
-        counts=counts_df, metadata=metadata, design="~condition", quiet=True
-    )
+
+def _tiny_metadata(**factors) -> pd.DataFrame:
+    n = len(next(iter(factors.values())))
+    return pd.DataFrame(factors, index=[f"sample{i + 1}" for i in range(n)])
+
+
+def _fitted(counts_df, metadata, **kwargs) -> DeseqDataSet:
+    kwargs.setdefault("design", "~condition")
+    kwargs.setdefault("quiet", True)
+    dds = DeseqDataSet(counts=counts_df, metadata=metadata, **kwargs)
     dds.deseq2()
+    return dds
 
-    assert np.isnan(dds.var.loc[zero_genes, "dispersions"]).all()
-    assert np.isnan(dds.varm["LFC"].loc[zero_genes]).all().all()
+
+# ------------------------------------------------------------ NaN semantics
+def test_zero_genes(counts_df, metadata):
+    """Genes with all-zero counts get NaN parameters and NaN statistics."""
+    rng = np.random.RandomState(42)
+    n_genes = counts_df.shape[1]
+    silenced = counts_df.columns[
+        rng.choice(n_genes, size=n_genes // 3, replace=False)
+    ]
+    counts_df[silenced] = 0
+
+    dds = _fitted(counts_df, metadata)
+    assert dds.var.loc[silenced, "dispersions"].isna().all()
+    assert dds.varm["LFC"].loc[silenced].isna().all().all()
 
     ds = DeseqStats(dds, contrast=["condition", "B", "A"], quiet=True)
     ds.summary()
-    results_df = ds.results_df
-
-    assert (results_df.loc[zero_genes].baseMean == 0).all()
-    assert results_df.loc[zero_genes].log2FoldChange.isna().all()
-    assert results_df.loc[zero_genes].lfcSE.isna().all()
-    assert results_df.loc[zero_genes].stat.isna().all()
-    assert results_df.loc[zero_genes].pvalue.isna().all()
-    assert results_df.loc[zero_genes].padj.isna().all()
+    rows = ds.results_df.loc[silenced]
+    assert (rows["baseMean"] == 0).all()
+    for col in ("log2FoldChange", "lfcSE", "stat", "pvalue", "padj"):
+        assert rows[col].isna().all(), f"{col} should be NaN for all-zero genes"
 
 
-def test_nan_counts():
-    counts_df = pd.DataFrame(
-        {"gene1": [0, np.nan], "gene2": [4, 12]}, index=["sample1", "sample2"]
-    )
-    metadata = pd.DataFrame({"condition": [0, 1]}, index=["sample1", "sample2"])
+# ------------------------------------------------------- input validation
+_BAD_COUNTS = {
+    "nan": [0, np.nan],
+    "non_numeric": [0, "a"],
+    "fractional": [0, 1.5],
+    "negative": [0, -1],
+}
+
+
+@pytest.mark.parametrize("kind", sorted(_BAD_COUNTS))
+def test_invalid_counts_rejected(kind):
+    counts = _tiny_counts(gene1=_BAD_COUNTS[kind], gene2=[4, 12])
+    metadata = _tiny_metadata(condition=[0, 1])
     with pytest.raises(ValueError):
-        DeseqDataSet(counts=counts_df, metadata=metadata, design="~condition")
+        DeseqDataSet(counts=counts, metadata=metadata, design="~condition")
 
 
-def test_numeric_counts():
-    counts_df = pd.DataFrame(
-        {"gene1": [0, "a"], "gene2": [4, 12]}, index=["sample1", "sample2"]
-    )
-    metadata = pd.DataFrame({"condition": [0, 1]}, index=["sample1", "sample2"])
+def test_nan_design_factor_rejected():
+    counts = _tiny_counts(gene1=[0, 1], gene2=[4, 12])
+    metadata = _tiny_metadata(condition=[0, np.nan])
     with pytest.raises(ValueError):
-        DeseqDataSet(counts=counts_df, metadata=metadata, design="~condition")
+        DeseqDataSet(counts=counts, metadata=metadata, design="~condition")
 
 
-def test_integer_counts():
-    counts_df = pd.DataFrame(
-        {"gene1": [0, 1.5], "gene2": [4, 12]}, index=["sample1", "sample2"]
-    )
-    metadata = pd.DataFrame({"condition": [0, 1]}, index=["sample1", "sample2"])
-    with pytest.raises(ValueError):
-        DeseqDataSet(counts=counts_df, metadata=metadata, design="~condition")
-
-
-def test_non_negative_counts():
-    counts_df = pd.DataFrame(
-        {"gene1": [0, -1], "gene2": [4, 12]}, index=["sample1", "sample2"]
-    )
-    metadata = pd.DataFrame({"condition": [0, 1]}, index=["sample1", "sample2"])
-    with pytest.raises(ValueError):
-        DeseqDataSet(counts=counts_df, metadata=metadata, design="~condition")
-
-
-def test_nan_factors():
-    counts_df = pd.DataFrame(
-        {"gene1": [0, 1], "gene2": [4, 12]}, index=["sample1", "sample2"]
-    )
-    metadata = pd.DataFrame({"condition": [0, np.nan]}, index=["sample1", "sample2"])
-    with pytest.raises(ValueError):
-        DeseqDataSet(counts=counts_df, metadata=metadata, design="~condition")
-
-
-def test_one_factor():
-    counts_df = pd.DataFrame(
-        {"gene1": [0, 1], "gene2": [4, 12]}, index=["sample1", "sample2"]
-    )
-    metadata = pd.DataFrame({"condition": [0, 0]}, index=["sample1", "sample2"])
+def test_single_level_factor_warns():
+    counts = _tiny_counts(gene1=[0, 1], gene2=[4, 12])
+    metadata = _tiny_metadata(condition=[0, 0])
     with pytest.warns(UserWarning):
-        DeseqDataSet(counts=counts_df, metadata=metadata, design="~condition")
+        DeseqDataSet(counts=counts, metadata=metadata, design="~condition")
 
 
-def test_rank_deficient_design():
-    counts_df = pd.DataFrame(
-        {"gene1": [0, 1], "gene2": [4, 12]}, index=["sample1", "sample2"]
-    )
-    metadata = pd.DataFrame(
-        {"condition": [0, 1], "batch": ["A", "B"]}, index=["sample1", "sample2"]
-    )
+def test_rank_deficient_design_warns():
+    counts = _tiny_counts(gene1=[0, 1], gene2=[4, 12])
+    metadata = _tiny_metadata(condition=[0, 1], batch=["A", "B"])
     with pytest.warns(UserWarning):
-        DeseqDataSet(counts=counts_df, metadata=metadata, design="~condition + batch")
+        DeseqDataSet(counts=counts, metadata=metadata, design="~condition + batch")
 
 
-def test_equal_num_vars_num_samples_design():
-    counts_df = pd.DataFrame(
-        {"gene1": [0, 1, 55], "gene2": [4, 12, 60]},
-        index=["sample1", "sample2", "sample3"],
-    )
-    metadata = pd.DataFrame(
-        {"condition": [0, 1, 0], "batch": ["A", "B", "B"]},
-        index=["sample1", "sample2", "sample3"],
-    )
+def test_as_many_design_columns_as_samples():
+    """n_samples == n_design_columns leaves no residual dof: dispersion
+    fitting must refuse."""
+    counts = _tiny_counts(gene1=[0, 1, 55], gene2=[4, 12, 60])
+    metadata = _tiny_metadata(condition=[0, 1, 0], batch=["A", "B", "B"])
     dds = DeseqDataSet(
-        counts=counts_df, metadata=metadata, design="~condition + batch", quiet=True
+        counts=counts, metadata=metadata, design="~condition + batch", quiet=True
     )
     dds.fit_size_factors()
     with pytest.raises(ValueError):
         dds.fit_genewise_dispersions()
 
 
-def test_matching_samples():
-    counts_df = pd.DataFrame(
-        {"gene1": [0, 1, 55], "gene2": [4, 12, 60]},
-        index=["sample1", "sample2", "sample3"],
+@pytest.mark.parametrize(
+    "design_index",
+    [
+        ["sample1", "sample2", "sample5"],  # right length, wrong names
+        ["sample1", "sample2"],  # too short
+        ["sample1", "sample2", "sample3", "sample4"],  # too long
+    ],
+)
+def test_design_matrix_index_must_match_samples(design_index):
+    counts = _tiny_counts(gene1=[0, 1, 55], gene2=[4, 12, 60])
+    metadata = _tiny_metadata(condition=[0, 1, 0])
+    n = len(design_index)
+    design = pd.DataFrame(
+        {"intercept": [1.0] * n, "condition": ([0, 1, 0, 0])[:n]},
+        index=design_index,
     )
-    metadata = pd.DataFrame(
-        {"condition": [0, 1, 0]}, index=["sample1", "sample2", "sample3"]
-    )
     with pytest.raises(ValueError):
-        design_matrix = pd.DataFrame(
-            {"intercept": [1.0, 1.0, 1.0], "condition": [0, 1, 0]},
-            index=["sample1", "sample2", "sample5"],
-        )
-        DeseqDataSet(counts=counts_df, metadata=metadata, design=design_matrix)
-    with pytest.raises(ValueError):
-        design_matrix = pd.DataFrame(
-            {"intercept": [1.0, 1.0], "condition": [0, 1]},
-            index=["sample1", "sample2"],
-        )
-        DeseqDataSet(counts=counts_df, metadata=metadata, design=design_matrix)
-    with pytest.raises(ValueError):
-        design_matrix = pd.DataFrame(
-            {"intercept": [1.0, 1.0, 1.0, 1.0], "condition": [0, 1, 0, 0]},
-            index=["sample1", "sample2", "sample3", "sample4"],
-        )
-        DeseqDataSet(counts=counts_df, metadata=metadata, design=design_matrix)
+        DeseqDataSet(counts=counts, metadata=metadata, design=design)
 
 
-def test_lfc_shrinkage_coeff(counts_df, metadata):
-    dds = DeseqDataSet(
-        counts=counts_df, metadata=metadata, design="~condition", quiet=True
-    )
-    dds.deseq2()
+def test_counts_metadata_index_mismatch_rejected():
+    counts = _tiny_counts(gene1=[0, 1], gene2=[4, 12])
+    metadata = pd.DataFrame({"condition": [0, 1]}, index=["sample01", "sample02"])
+    with pytest.raises(ValueError):
+        DeseqDataSet(counts=counts, metadata=metadata, design="~condition")
+
+
+# -------------------------------------------------------- stats-layer guards
+def test_unknown_shrink_coefficient_rejected(counts_df, metadata):
+    dds = _fitted(counts_df, metadata)
     ds = DeseqStats(dds, contrast=["condition", "B", "A"], quiet=True)
     ds.summary()
     with pytest.raises(KeyError):
         ds.lfc_shrink(coeff="this_coeff_does_not_exist")
 
 
-def test_indexes():
-    counts_df = pd.DataFrame(
-        {"gene1": [0, 1], "gene2": [4, 12]}, index=["sample1", "sample2"]
+@pytest.mark.parametrize(
+    "contrast",
+    [
+        ["condition", "B"],  # missing the reference level
+        ["batch", "Y", "X"],  # unknown factor
+        ["condition", "B", "C"],  # unknown reference level
+        ["condition", "C", "B"],  # unknown tested level
+        np.array([0, 0, 0, 1]),  # wrong vector length
+    ],
+)
+def test_invalid_contrasts_rejected(counts_df, metadata, contrast):
+    dds = _fitted(
+        counts_df, metadata, refit_cooks=False, design="~condition + group"
     )
-    metadata = pd.DataFrame({"condition": [0, 1]}, index=["sample01", "sample02"])
-    with pytest.raises(ValueError):
-        DeseqDataSet(counts=counts_df, metadata=metadata, design="~condition")
-
-
-def test_contrast(counts_df, metadata):
-    dds = DeseqDataSet(
-        counts=counts_df,
-        metadata=metadata,
-        refit_cooks=False,
-        design="~condition + group",
-        quiet=True,
-    )
-    dds.deseq2()
-
     with pytest.raises((IndexError, ValueError)):
-        DeseqStats(dds, contrast=["condition", "B"])
-    with pytest.raises(ValueError):
-        DeseqStats(dds, contrast=["batch", "Y", "X"])
-    with pytest.raises(ValueError):
-        DeseqStats(dds, contrast=["condition", "B", "C"])
-    with pytest.raises(ValueError):
-        DeseqStats(dds, contrast=["condition", "C", "B"])
-    with pytest.raises(ValueError):
-        DeseqStats(dds, contrast=np.array([0, 0, 0, 1]))
+        DeseqStats(dds, contrast=contrast)
 
 
-def test_cooks_not_refitted(counts_df, metadata):
-    dds = DeseqDataSet(
-        counts=counts_df,
-        metadata=metadata,
-        refit_cooks=False,
-        design="~condition",
-        quiet=True,
-    )
-    dds.deseq2()
+def test_stats_requires_refit_when_enabled(counts_df, metadata):
+    """Flipping refit_cooks on after the fit must be caught by DeseqStats."""
+    dds = _fitted(counts_df, metadata, refit_cooks=False)
     dds.refit_cooks = True
     with pytest.raises(AttributeError):
-        ds = DeseqStats(dds, contrast=["condition", "B", "A"], quiet=True)
-        ds.summary()
+        DeseqStats(dds, contrast=["condition", "B", "A"], quiet=True).summary()
 
 
+# ---------------------------------------------------- tiny-cohort behavior
 def test_few_samples(counts_df, metadata):
-    samples_to_keep = ["sample1", "sample2", "sample99", "sample100"]
-    counts_df = counts_df.loc[samples_to_keep]
-    metadata = metadata.loc[samples_to_keep]
-    counts_df.iloc[0, 0] = 1000
+    """Cohorts below min_replicates: pipeline runs, nothing is replaced."""
+    keep = ["sample1", "sample2", "sample99", "sample100"]
+    counts_df = counts_df.loc[keep]
+    counts_df.iloc[0, 0] = 1000  # an outlier that must NOT be replaced
+    metadata = metadata.loc[keep]
 
     dds = DeseqDataSet(
         counts=counts_df,
@@ -219,30 +185,17 @@ def test_few_samples(counts_df, metadata):
     )
     with pytest.warns(UserWarning):
         dds.deseq2()
-
-    res = DeseqStats(dds, contrast=["condition", "B", "A"], quiet=True)
-    res.summary()
+    DeseqStats(dds, contrast=["condition", "B", "A"], quiet=True).summary()
     assert dds.var["replaced"].sum() == 0
 
 
 def test_few_samples_and_outlier(counts_df, metadata):
-    samples_to_keep = [
-        "sample1",
-        "sample2",
-        "sample92",
-        "sample93",
-        "sample94",
-        "sample95",
-        "sample96",
-        "sample97",
-        "sample98",
-        "sample99",
-        "sample100",
-    ]
-    counts_df = counts_df.loc[samples_to_keep]
-    metadata = metadata.loc[samples_to_keep]
+    """One under- and one well-replicated cohort with planted outliers."""
+    keep = ["sample1", "sample2"] + [f"sample{i}" for i in range(92, 101)]
+    counts_df = counts_df.loc[keep]
     counts_df.iloc[0, 0] = 1000
     counts_df.iloc[-1, -1] = 1000
+    metadata = metadata.loc[keep]
 
     dds = DeseqDataSet(
         counts=counts_df,
@@ -252,13 +205,15 @@ def test_few_samples_and_outlier(counts_df, metadata):
         quiet=True,
     )
     dds.deseq2()
-    res = DeseqStats(dds, contrast=["condition", "B", "A"], quiet=True)
-    res.summary()
+    DeseqStats(dds, contrast=["condition", "B", "A"], quiet=True).summary()
 
 
 def test_new_all_zero_gene(counts_df, metadata):
-    metadata = metadata.loc[[f"sample{i}" for i in [*range(1, 11), *range(91, 101)]]]
-    counts_df = counts_df.loc[metadata.index].copy()
+    """A gene whose only nonzero count is replaced becomes all-zero: LFC, SE
+    and stat are zeroed; p-value and padj are NaN."""
+    keep = [f"sample{i}" for i in [*range(1, 11), *range(91, 101)]]
+    metadata = metadata.loc[keep]
+    counts_df = counts_df.loc[keep].copy()
     counts_df["geneX"] = 0
     counts_df.loc["sample100", "geneX"] = 100
 
@@ -271,23 +226,22 @@ def test_new_all_zero_gene(counts_df, metadata):
     )
     with pytest.warns(UserWarning):
         dds.deseq2()
-
     ds = DeseqStats(dds, contrast=["condition", "B", "A"], quiet=True)
     ds.summary()
 
-    assert dds.new_all_zeroes_genes.equals(pd.Index(["geneX"]))
-    assert ds.results_df.loc["geneX", "baseMean"] == 0
-    assert ds.results_df.loc["geneX", "log2FoldChange"] == 0
-    assert ds.results_df.loc["geneX", "lfcSE"] == 0
-    assert ds.results_df.loc["geneX", "stat"] == 0
-    assert np.isnan(ds.results_df.loc["geneX", "pvalue"])
-    assert np.isnan(ds.results_df.loc["geneX", "padj"])
+    assert list(dds.new_all_zeroes_genes) == ["geneX"]
+    row = ds.results_df.loc["geneX"]
+    for col in ("baseMean", "log2FoldChange", "lfcSE", "stat"):
+        assert row[col] == 0, f"{col} should be zeroed for new-all-zero genes"
+    assert np.isnan(row["pvalue"]) and np.isnan(row["padj"])
 
 
 def test_zero_inflated(counts_df, metadata):
-    np.random.seed(42)
-    idx = np.random.choice(len(counts_df), counts_df.shape[-1])
-    counts_df.iloc[idx, :] = 0
+    """Zero-rich data cannot use median-of-ratios: expect the iterative-mode
+    switch warning."""
+    rng = np.random.RandomState(42)
+    rows = rng.choice(len(counts_df), counts_df.shape[-1])
+    counts_df.iloc[rows, :] = 0
 
     dds = DeseqDataSet(counts=counts_df, metadata=metadata, quiet=True)
     with pytest.warns(UserWarning):
@@ -298,10 +252,9 @@ def test_plot_MA(counts_df, metadata):
     import matplotlib
 
     matplotlib.use("Agg")
-    dds = DeseqDataSet(counts=counts_df, metadata=metadata, quiet=True)
-    dds.deseq2()
+    dds = _fitted(counts_df, metadata)
     ds = DeseqStats(dds, contrast=["condition", "B", "A"], quiet=True)
     with pytest.raises(AttributeError):
-        ds.plot_MA()
+        ds.plot_MA()  # before summary() there is nothing to plot
     ds.summary()
     ds.plot_MA()
