@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from pydeseq2_tpu.ops import stats as stats_ops
 from pydeseq2_tpu.ops.dispersion import alpha_mle_batch
 from pydeseq2_tpu.ops.irls import (
+    grid_fit_beta_batch,
     hat_diagonals,
     irls_beta_init,
     irls_core,
@@ -55,14 +56,16 @@ def _irls_with_rescue(
     min_mu: float,
     beta_tol: float,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched IRLS with the projected-Newton rescue fused into the program.
+    """Batched IRLS with the full rescue cascade fused into the program.
 
     The staged backend host-gathers diverged lanes and re-solves them
     (jax_inference.py JaxInference.irls, mirroring the reference cascade at
-    pydeseq2/utils.py:374-403); here the rescue runs inside the single jit
-    program behind a ``lax.cond``, so the Newton solve only executes at
-    runtime when some lane actually diverged. Rescued lanes restart from the
-    QR ``beta_init``, matching the staged backend exactly.
+    pydeseq2/utils.py:374-412); here both rescue tiers run inside the single
+    jit program behind ``lax.cond``s, so they only execute at runtime when
+    some lane actually needs them: (1) projected-Newton restart from the QR
+    ``beta_init`` for diverged/stalled lanes, then (2) for P == 2 designs,
+    the vectorized 2-D grid search on lanes where Newton also failed —
+    matching the staged backend's full cascade.
 
     Returns (beta, converged).
     """
@@ -71,7 +74,7 @@ def _irls_with_rescue(
         min_mu=min_mu, beta_tol=beta_tol,
     )
 
-    def rescue(operands):
+    def newton_rescue(operands):
         beta, converged = operands
         b_fb, ok = newton_box_nbglm(
             counts, size_factors, design_matrix, disp, beta_init, min_mu=min_mu
@@ -82,8 +85,28 @@ def _irls_with_rescue(
         )
 
     beta, converged = jax.lax.cond(
-        needs_fb.any(), rescue, lambda ops: ops, (beta, converged)
+        needs_fb.any(), newton_rescue, lambda ops: ops, (beta, converged)
     )
+
+    if design_matrix.shape[1] == 2:
+        # Tertiary grid fallback (reference pydeseq2/utils.py:405-412,
+        # grid_search.py:145-221): lanes where the Newton rescue still
+        # reports failure take the 2-D grid optimum.
+        still_bad = needs_fb & ~converged
+
+        def grid_rescue(operands):
+            beta, converged = operands
+            b_grid = grid_fit_beta_batch(
+                counts, size_factors, design_matrix, disp, min_mu=min_mu
+            )
+            return (
+                jnp.where(still_bad[:, None], b_grid, beta),
+                converged,
+            )
+
+        beta, converged = jax.lax.cond(
+            still_bad.any(), grid_rescue, lambda ops: ops, (beta, converged)
+        )
     return beta, converged
 
 
@@ -100,6 +123,81 @@ def _trimmed_mean_cut(values: jnp.ndarray, sel: jnp.ndarray, cut: float) -> jnp.
     in_range = (idx >= ntrim) & (idx < n_sel - ntrim)
     safe = jnp.where(jnp.isinf(sorted_vals), 0.0, sorted_vals)
     return jnp.where(in_range, safe, 0.0).sum() / jnp.maximum(in_range.sum(), 1)
+
+
+def fit_fused_trend(
+    base_mean: jnp.ndarray,
+    genewise_m: jnp.ndarray,
+    non_zero: jnp.ndarray,
+    min_disp: float,
+    trend_type: str,
+    max_rounds: int = 20,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Dispersion trend curve, fully in-program, with the mean fallback.
+
+    ``parametric``: iterated gamma-GLM fit of alpha(mu) = a1/mu + a0 with
+    off-curve gene exclusion (ratio < 1e-4 or >= 15), run as a
+    ``lax.while_loop`` until successive coefficient vectors drift < 1e-6 in
+    squared log-distance — the reference's convergence rule
+    (pydeseq2/dds.py:1236-1263) rather than a fixed round count. When a GLM
+    round fails or degenerates (coeff <= 1e-10), the result switches to the
+    trimmed-mean trend in-program, mirroring the staged fallback
+    (pydeseq2/dds.py:1243-1252).
+
+    ``mean``: trimmed mean (cut 0.001) of dispersions > 10*min_disp
+    (pydeseq2/dds.py:1277-1299).
+
+    Returns ``(fitted, trend_coeffs, used_mean, mean_disp)``; ``fitted`` is
+    NOT non_zero-masked (callers mask), ``used_mean`` is a traced scalar
+    bool (True when the mean trend was used, either by request or via
+    fallback).
+    """
+    dtype = base_mean.dtype
+    sel = genewise_m > 10.0 * min_disp
+    mean_disp = _trimmed_mean_cut(genewise_m, sel, 0.001)
+
+    if trend_type == "mean":
+        G = base_mean.shape[0]
+        return (
+            jnp.full((G,), mean_disp, dtype=dtype),
+            jnp.zeros((2,), dtype),
+            jnp.asarray(True),
+            mean_disp,
+        )
+
+    covariates = 1.0 / base_mean
+    valid0 = non_zero & jnp.isfinite(covariates) & jnp.isfinite(genewise_m)
+    # Zero out excluded lanes BEFORE the fit: an inf covariate (all-zero /
+    # padding lane, base_mean == 0) poisons jax.grad through the masked loss
+    # (inf * 0 = NaN in the chain rule) even though the lane is invalid.
+    covariates = jnp.where(valid0, covariates, 0.0)
+    targets = jnp.where(valid0, jnp.nan_to_num(genewise_m), 0.0)
+
+    def keep_iterating(state):
+        _, _, drift, failed, it = state
+        return ~failed & (drift >= 1e-6) & (it < max_rounds)
+
+    def trend_round(state):
+        valid, coeffs, _, _, it = state
+        new_coeffs, preds, glm_ok = gamma_glm_trend_fit(covariates, targets, valid)
+        failed = ~glm_ok | (new_coeffs <= 1e-10).any()
+        drift = jnp.sum(jnp.log(jnp.abs(new_coeffs / coeffs)) ** 2)
+        ratio = genewise_m / preds
+        keep = valid & (ratio >= 1e-4) & (ratio < 15.0)
+        return keep, new_coeffs, drift, failed, it + 1
+
+    init = (
+        valid0,
+        jnp.ones((2,), dtype),  # drift sentinel, as in the staged loop
+        jnp.asarray(jnp.inf, dtype),
+        jnp.asarray(False),
+        jnp.asarray(0, jnp.int32),
+    )
+    _, coeffs, _, failed, _ = jax.lax.while_loop(keep_iterating, trend_round, init)
+
+    parametric = coeffs[0] + coeffs[1] / base_mean
+    fitted = jnp.where(failed, mean_disp, parametric)
+    return fitted, coeffs, failed, mean_disp
 
 
 def _size_factors(
@@ -216,31 +314,11 @@ def _wald_impl(
     genewise = jnp.clip(genewise, min_disp, max_disp)
     genewise_m = jnp.where(non_zero, genewise, jnp.nan)
 
-    # --- trend ------------------------------------------------------------
-    trend_coeffs = jnp.zeros((2,), dtype)
-    if trend_type == "parametric":
-        covariates = 1.0 / base_mean
-        valid0 = non_zero & jnp.isfinite(covariates) & jnp.isfinite(genewise_m)
-
-        def trend_round(valid, _):
-            coeffs, preds, ok = gamma_glm_trend_fit(
-                covariates, jnp.nan_to_num(genewise_m), valid
-            )
-            ratio = genewise_m / preds
-            keep = valid & ~((ratio < 1e-4) | (ratio >= 15.0))
-            return keep, (coeffs, preds, ok)
-
-        valid, (coeffs, preds, _) = jax.lax.scan(
-            trend_round, valid0, None, length=trend_rounds
-        )
-        coeffs_last = coeffs[-1]
-        trend_coeffs = coeffs_last
-        fitted = coeffs_last[0] + coeffs_last[1] / base_mean
-    else:
-        sel = genewise_m > 10.0 * min_disp
-        mean_disp = _trimmed_mean_cut(genewise_m, sel, 0.001)
-        fitted = jnp.full((G,), mean_disp, dtype=dtype)
-
+    # --- trend (convergence-driven, with in-program mean fallback) ---------
+    fitted, trend_coeffs, trend_used_mean, _ = fit_fused_trend(
+        base_mean, genewise_m, non_zero, min_disp, trend_type,
+        max_rounds=max(trend_rounds, 20),
+    )
     fitted_m = jnp.where(non_zero, fitted, jnp.nan)
 
     # --- dispersion prior (reference pydeseq2/dds.py:840-884) -------------
@@ -292,6 +370,7 @@ def _wald_impl(
 
     nanm = lambda a: jnp.where(non_zero, a, jnp.nan)
     return {
+        "trend_used_mean": trend_used_mean,
         "trend_coeffs": trend_coeffs,
         "squared_logres": squared_logres,
         "size_factors": sf,
@@ -505,35 +584,54 @@ def summary_pipeline(
         p = jnp.where(outlier, jnp.nan, p)
         out["p_values"] = p
 
-    # --- BH / independent filtering (reference pydeseq2/ds.py:486-542) -----
-    valid = ~jnp.isnan(p) & gene_mask
-    p_filled = jnp.nan_to_num(p, nan=1.0)
-    if independent_filter:
-        base_m = jnp.where(gene_mask, base_mean, jnp.nan)
-        lower_q = ((base_m == 0) & gene_mask).sum() / jnp.maximum(gene_mask.sum(), 1)
-        lower_q = lower_q.astype(dtype)
-        upper_q = jnp.where(lower_q < 0.95, jnp.asarray(0.95, dtype), jnp.asarray(1.0, dtype))
-        theta = lower_q + (upper_q - lower_q) * jnp.linspace(0.0, 1.0, 50, dtype=dtype)
-        cutoffs = jnp.nanquantile(base_m, theta)
-        masks = (base_mean[None, :] >= cutoffs[:, None]) & valid[None, :]
-        adj = stats_ops.bh_adjust_masked(
-            jnp.broadcast_to(p_filled, (50, G)), masks
-        )  # (50, G), NaN outside masks
-        num_rej = (adj < alpha).sum(axis=1)
-        lo = stats_ops.lowess_device(theta, num_rej.astype(dtype), frac=1.0 / 5.0)
-        resid = jnp.where(num_rej > 0, num_rej.astype(dtype) - lo, jnp.nan)
-        thresh = lo.max() - jnp.sqrt(jnp.nanmean(resid**2))
-        above = num_rej > thresh
-        j = jnp.where(above.any(), jnp.argmax(above), 0)
-        j = jnp.where(num_rej.max() <= 10, 0, j)
-        padj = jnp.take(adj, j, axis=0)
-    else:
-        padj = stats_ops.bh_adjust_masked(p_filled, valid)
+    padj = device_padj(p, base_mean, gene_mask, alpha, independent_filter)
 
     out["cooks"] = jnp.where(non_zero[:, None], cooks, jnp.nan)
     out["cooks_outlier"] = outlier
     out["padj"] = jnp.where(gene_mask, padj, jnp.nan)
     return out
+
+
+def device_padj(
+    p: jnp.ndarray,
+    base_mean: jnp.ndarray,
+    gene_mask: jnp.ndarray,
+    alpha: float,
+    independent_filter: bool,
+) -> jnp.ndarray:
+    """Adjusted p-values as a device program (BH or independent filtering).
+
+    The independent-filtering variant evaluates all 50 base-mean cutoffs as
+    one batched masked-BH program plus a device lowess pick (reference
+    pydeseq2/ds.py:486-542 loops 50 scipy BH calls on the host).
+    """
+    dtype = base_mean.dtype
+    G = p.shape[0]
+    valid = ~jnp.isnan(p) & gene_mask
+    p_filled = jnp.nan_to_num(p, nan=1.0)
+    if not independent_filter:
+        return stats_ops.bh_adjust_masked(p_filled, valid)
+
+    base_m = jnp.where(gene_mask, base_mean, jnp.nan)
+    lower_q = ((base_m == 0) & gene_mask).sum() / jnp.maximum(gene_mask.sum(), 1)
+    lower_q = lower_q.astype(dtype)
+    upper_q = jnp.where(
+        lower_q < 0.95, jnp.asarray(0.95, dtype), jnp.asarray(1.0, dtype)
+    )
+    theta = lower_q + (upper_q - lower_q) * jnp.linspace(0.0, 1.0, 50, dtype=dtype)
+    cutoffs = jnp.nanquantile(base_m, theta)
+    masks = (base_mean[None, :] >= cutoffs[:, None]) & valid[None, :]
+    adj = stats_ops.bh_adjust_masked(
+        jnp.broadcast_to(p_filled, (50, G)), masks
+    )  # (50, G), NaN outside masks
+    num_rej = (adj < alpha).sum(axis=1)
+    lo = stats_ops.lowess_device(theta, num_rej.astype(dtype), frac=1.0 / 5.0)
+    resid = jnp.where(num_rej > 0, num_rej.astype(dtype) - lo, jnp.nan)
+    thresh = lo.max() - jnp.sqrt(jnp.nanmean(resid**2))
+    above = num_rej > thresh
+    j = jnp.where(above.any(), jnp.argmax(above), 0)
+    j = jnp.where(num_rej.max() <= 10, 0, j)
+    return jnp.take(adj, j, axis=0)
 
 
 def summary_host_inputs(design_matrix) -> dict:
@@ -635,22 +733,15 @@ def vst_pipeline(
         "genewise_dispersions": genewise_m,
     }
 
+    fitted, coeffs, used_mean, mean_disp = fit_fused_trend(
+        base_mean, genewise_m, non_zero, min_disp, trend_type,
+        max_rounds=max(trend_rounds, 20),
+    )
     if trend_type == "parametric":
-        covariates = 1.0 / base_mean
-        valid0 = non_zero & jnp.isfinite(covariates) & jnp.isfinite(genewise_m)
-
-        def trend_round(valid, _):
-            coeffs, preds, ok = gamma_glm_trend_fit(
-                covariates, jnp.nan_to_num(genewise_m), valid
-            )
-            ratio = genewise_m / preds
-            keep = valid & ~((ratio < 1e-4) | (ratio >= 15.0))
-            return keep, (coeffs, preds, ok)
-
-        _, (coeffs, _, _) = jax.lax.scan(trend_round, valid0, None, length=trend_rounds)
-        a0, a1 = coeffs[-1][0], coeffs[-1][1]
-        # Closed form, reference pydeseq2/dds.py:493-501.
-        vst = jnp.log2(
+        a0, a1 = coeffs[0], coeffs[1]
+        # Closed form, reference pydeseq2/dds.py:493-501; arcsinh form
+        # (dds.py:502-510) when the trend fell back to mean in-program.
+        parametric_vst = jnp.log2(
             (
                 1.0
                 + a1
@@ -659,10 +750,15 @@ def vst_pipeline(
             )
             / (4.0 * a0)
         )
-        out["trend_coeffs"] = coeffs[-1]
+        mean_vst = (
+            2.0 * jnp.arcsinh(jnp.sqrt(mean_disp * normed))
+            - jnp.log(mean_disp)
+            - jnp.log(4.0)
+        ) / jnp.log(2.0)
+        vst = jnp.where(used_mean, mean_vst, parametric_vst)
+        out["trend_coeffs"] = coeffs
+        out["trend_used_mean"] = used_mean
     else:
-        sel = genewise_m > 10.0 * min_disp
-        mean_disp = _trimmed_mean_cut(genewise_m, sel, 0.001)
         # arcsinh form, reference pydeseq2/dds.py:502-510.
         vst = (
             2.0 * jnp.arcsinh(jnp.sqrt(mean_disp * normed))

@@ -1,0 +1,375 @@
+"""Gene-streamed fused pipeline: north-star scale on a single chip.
+
+The monolithic :mod:`pydeseq2_tpu.fused` program materialises ~10 (G, N)
+temporaries (normed counts, mu, hat diagonals, Cook's distances, IRLS
+internals, ...), so at the BASELINE north-star configs (1k and 10k samples x
+60k genes, 0.24-2.4 GB *per* (G, N) f32 array) it exceeds a single chip's
+HBM. This module runs the same analysis with bounded memory:
+
+- The raw counts tile stays device-resident once (the largest config,
+  10k x 60k f32, is 2.4 GB — it fits; nothing else full-size is ever live).
+- The two heavy per-gene stages (genewise dispersion MLE; MAP dispersions +
+  IRLS + Wald + Cook's flags) stream (gene_block, N) tiles through
+  ``lax.scan`` inside ONE jit program, so peak temporary memory is
+  O(gene_block x N) regardless of G.
+- The cross-gene reductions run between the streamed passes on O(G) or one
+  full-matrix fused reduction: the size-factor medians (one sort), the
+  gamma-GLM trend with its exclusion loop (:func:`fused.fit_fused_trend`,
+  including the in-program mean fallback), the prior-variance MAD, and the
+  batched BH / independent-filtering sweep (:func:`fused.device_padj`).
+- Per-gene outputs only — no (G, N) result is returned (the staged
+  :class:`DeseqDataSet` keeps full Cook's layers when you need them).
+
+Numerically this is the same program as :func:`fused.summary_pipeline` —
+each gene block sees identical inputs (size factors, trend, prior are exact
+global reductions, not block approximations), so results match the
+monolithic pipeline to roundoff; ``tests/test_fused_stream.py`` pins this.
+
+Reference semantics covered: pydeseq2/dds.py:516-562 (deseq2 driver with
+refit_cooks=False) + pydeseq2/ds.py:223-301 (summary), like
+:func:`fused.summary_pipeline`.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pydeseq2_tpu.fused import (
+    _irls_with_rescue,
+    device_padj,
+    fit_fused_trend,
+    summary_host_inputs,
+)
+from pydeseq2_tpu.ops import stats as stats_ops
+from pydeseq2_tpu.ops.dispersion import alpha_mle_batch
+from pydeseq2_tpu.ops.irls import hat_diagonals, irls_beta_init
+from pydeseq2_tpu.ops.linreg import (
+    fit_lin_mu_batch,
+    fit_moments_dispersions_batch,
+    fit_rough_dispersions_batch,
+)
+from pydeseq2_tpu.ops.wald import wald_test_batch
+
+_MAD_SCALE = 0.6744897501960817  # Phi^{-1}(0.75)
+
+
+def _streamed_size_factors(
+    counts: jnp.ndarray, gene_mask: jnp.ndarray, logmeans: jnp.ndarray
+) -> jnp.ndarray:
+    """Median-of-ratios size factors via one full-matrix sort.
+
+    The per-sample median runs over the *same* filtered gene set for every
+    sample, so the two middle order statistics sit at fixed ranks: push
+    excluded genes to +inf, sort each sample's column once, gather ranks
+    (m-1)//2 and m//2. Peak extra memory: 2 x (G, N) for the ratio matrix
+    and its sort — the only full-matrix temporaries in the streamed program.
+    """
+    filtered = ~jnp.isinf(logmeans) & gene_mask
+    m = filtered.sum()
+    k_lo = jnp.maximum((m - 1) // 2, 0)
+    k_hi = m // 2
+    ratios = jnp.where(
+        filtered[:, None], jnp.log(counts) - logmeans[:, None], jnp.inf
+    )
+    ranked = jnp.sort(ratios, axis=0)
+    med = (jnp.take(ranked, k_lo, axis=0) + jnp.take(ranked, k_hi, axis=0)) / 2.0
+    return jnp.exp(med)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "gene_block",
+        "cohort_ids",
+        "use_for_max",
+        "alpha",
+        "cooks_filter",
+        "independent_filter",
+        "min_mu",
+        "min_disp",
+        "max_disp",
+        "beta_tol",
+        "trend_type",
+        "alt_hypothesis",
+        "mu_init",
+        "stats_layer",
+    ),
+)
+def summary_pipeline_streamed(
+    counts: jnp.ndarray,
+    design_matrix: jnp.ndarray,
+    contrast: jnp.ndarray,
+    lfc_null: jnp.ndarray,
+    cooks_cutoff: jnp.ndarray,
+    gene_mask: jnp.ndarray | None = None,
+    *,
+    gene_block: int = 8192,
+    cohort_ids: tuple[int, ...] | None = None,
+    use_for_max: tuple[bool, ...] | None = None,
+    alpha: float = 0.05,
+    cooks_filter: bool = True,
+    independent_filter: bool = True,
+    min_mu: float = 0.5,
+    min_disp: float = 1e-8,
+    max_disp: float = 10.0,
+    beta_tol: float = 1e-8,
+    trend_type: str = "parametric",
+    alt_hypothesis: str | None = None,
+    mu_init: str = "linear",
+    stats_layer: bool = True,
+):
+    """Counts -> padj with O(gene_block x N) peak temporaries.
+
+    Same arguments and semantics as :func:`fused.summary_pipeline` (minus the
+    Pallas knob), plus ``gene_block`` — G must be a multiple of it (pad with
+    ``gene_mask=False`` lanes; :func:`run_summary_streamed` does this).
+    ``stats_layer=False`` skips Cook's flagging and padj (the
+    :func:`fused.wald_pipeline` surface).
+    """
+    G, N = counts.shape
+    P = design_matrix.shape[1]
+    dtype = counts.dtype
+    X = design_matrix
+    if gene_mask is None:
+        gene_mask = jnp.ones((G,), dtype=bool)
+    if use_for_max is None:
+        use_for_max = tuple([True] * N)
+    assert G % gene_block == 0, "pad G to a multiple of gene_block"
+    n_blocks = G // gene_block
+
+    cblocks = counts.reshape(n_blocks, gene_block, N)
+    mblocks = gene_mask.reshape(n_blocks, gene_block)
+
+    # --- cheap full sweep: per-gene log-means + non-zero masks --------------
+    def log_stats_block(args):
+        c, m = args
+        logmean = jnp.log(c).mean(axis=1)  # -inf when the gene has a zero
+        non_zero = (c > 0).any(axis=1) & m
+        return logmean, non_zero
+
+    logmeans, non_zero = jax.lax.map(log_stats_block, (cblocks, mblocks))
+    logmeans = logmeans.reshape(G)
+    non_zero = non_zero.reshape(G)
+
+    sf = _streamed_size_factors(counts, gene_mask, logmeans)
+
+    def mu_hat_block(c):
+        if mu_init == "irls":
+            # MoM dispersions are recomputed here so pass 2 can rebuild
+            # mu_hat without a stored (G, N) tile.
+            normed = c / sf[None, :]
+            mom = jnp.clip(
+                jnp.minimum(
+                    fit_rough_dispersions_batch(normed, X),
+                    fit_moments_dispersions_batch(normed, sf),
+                ),
+                min_disp,
+                max_disp,
+            )
+            beta_mom, _ = _irls_with_rescue(
+                c, sf, X, mom, irls_beta_init(c, sf, X),
+                min_mu=min_mu, beta_tol=beta_tol,
+            )
+            return sf[None, :] * jnp.exp(beta_mom @ X.T), mom
+        normed = c / sf[None, :]
+        mom = jnp.clip(
+            jnp.minimum(
+                fit_rough_dispersions_batch(normed, X),
+                fit_moments_dispersions_batch(normed, sf),
+            ),
+            min_disp,
+            max_disp,
+        )
+        return fit_lin_mu_batch(c, sf, X, min_mu), mom
+
+    # --- streamed pass 1: genewise dispersion MLE ---------------------------
+    # Emits per-gene scalars plus the coarse-grid objective cache (K per
+    # gene) that lets the MAP fit in pass 2 skip its coarse scan.
+    def genewise_block(c):
+        base_mean = (c / sf[None, :]).mean(axis=1)
+        mu_hat, mom = mu_hat_block(c)
+        gw, _, coarse = alpha_mle_batch(
+            c, X, mu_hat, mom, min_disp, max_disp,
+            cr_reg=True, prior_reg=False, return_coarse=True,
+        )
+        return base_mean, jnp.clip(gw, min_disp, max_disp), coarse
+
+    base_mean, genewise, coarse = jax.lax.map(genewise_block, cblocks)
+    base_mean = base_mean.reshape(G)
+    genewise_m = jnp.where(non_zero, genewise.reshape(G), jnp.nan)
+
+    # --- global reductions: trend + prior (O(G) work) -----------------------
+    fitted, trend_coeffs, trend_used_mean, _ = fit_fused_trend(
+        base_mean, genewise_m, non_zero, min_disp, trend_type
+    )
+    fitted_m = jnp.where(non_zero, fitted, jnp.nan)
+
+    disp_resid = jnp.log(genewise_m) - jnp.log(fitted_m)
+    resid_sel = jnp.where(
+        (genewise_m >= 100.0 * min_disp) & non_zero, disp_resid, jnp.nan
+    )
+    center = jnp.nanmedian(resid_sel)
+    squared_logres = (jnp.nanmedian(jnp.abs(resid_sel - center)) / _MAD_SCALE) ** 2
+    from jax.scipy.special import polygamma
+
+    prior_disp_var = jnp.maximum(
+        squared_logres - polygamma(1, jnp.asarray((N - P) / 2.0, dtype)), 0.25
+    )
+
+    # --- streamed pass 2: MAP dispersions -> IRLS -> Wald -> Cook's flags ---
+    if cohort_ids is not None:
+        cohort_sample_idx = np.where(np.asarray(use_for_max))[0]
+        cohort_arr = np.asarray(cohort_ids)
+    ufm = jnp.asarray(np.asarray(use_for_max), dtype=bool)
+
+    def analyse_block(args):
+        c, m, gw_m, fit_m, cache = args
+        nz = (c > 0).any(axis=1) & m
+        mu_hat, _ = mu_hat_block(c)
+        map_disp, _ = alpha_mle_batch(
+            c, X, mu_hat, jnp.nan_to_num(fit_m, nan=0.5), min_disp, max_disp,
+            prior_disp_var=prior_disp_var, cr_reg=True, prior_reg=True,
+            coarse_cache=cache,
+        )
+        map_disp = jnp.clip(map_disp, min_disp, max_disp)
+        shrink_outlier = jnp.log(gw_m) > jnp.log(fit_m) + 2.0 * jnp.sqrt(
+            squared_logres
+        )
+        dispersions = jnp.where(shrink_outlier, gw_m, map_disp)
+        dispersions = jnp.where(nz, dispersions, jnp.nan)
+        disp_safe = jnp.nan_to_num(dispersions, nan=0.5)
+
+        beta, converged = _irls_with_rescue(
+            c, sf, X, disp_safe, irls_beta_init(c, sf, X),
+            min_mu=min_mu, beta_tol=beta_tol,
+        )
+        H, mu = hat_diagonals(c, sf, X, disp_safe, beta, min_mu=min_mu)
+        ridge = 1e-6 * jnp.eye(P, dtype=dtype)
+        pv, st, se = wald_test_batch(
+            X, disp_safe, beta, mu, ridge, contrast, lfc_null, alt_hypothesis
+        )
+
+        res = {
+            "dispersions": dispersions,
+            "MAP_dispersions": jnp.where(nz, map_disp, jnp.nan),
+            "lfc": jnp.where(nz[:, None], beta, jnp.nan),
+            "p_values": jnp.where(nz, pv, jnp.nan),
+            "statistics": jnp.where(nz, st, jnp.nan),
+            "se": jnp.where(nz, se, jnp.nan),
+            "irls_converged": converged,
+        }
+        if stats_layer:
+            # Cook's distances live only inside the block: the flags and the
+            # max-count veto (reference pydeseq2/dds.py:1066-1110) are
+            # per-gene reductions.
+            normed = c / sf[None, :]
+            if cohort_ids is not None:
+                v = stats_ops.trimmed_cell_variance(
+                    normed[:, cohort_sample_idx].T, cohort_arr
+                )
+            else:
+                v = stats_ops.trimmed_variance(normed.T, axis=0)
+            mrow = normed.mean(axis=1)
+            disp_c = jnp.maximum((v - mrow) / mrow**2, 0.04)
+            V = mu + disp_c[:, None] * mu**2
+            cooks = (c - mu) ** 2 / (V * P) * H / (1.0 - H) ** 2
+            flagged = (
+                jnp.where(ufm[None, :], cooks, -jnp.inf) > cooks_cutoff
+            ).any(axis=1)
+            pos = jnp.argmax(cooks, axis=1)
+            max_count = jnp.take_along_axis(c, pos[:, None], axis=1)
+            flagged = flagged & ((c > max_count).sum(axis=1) < 3)
+            res["cooks_outlier"] = flagged & nz
+        return res
+
+    blocks = jax.lax.map(
+        analyse_block,
+        (
+            cblocks,
+            mblocks,
+            genewise_m.reshape(n_blocks, gene_block),
+            fitted_m.reshape(n_blocks, gene_block),
+            coarse,
+        ),
+    )
+    flat = {k: v.reshape((G,) + v.shape[2:]) for k, v in blocks.items()}
+
+    out = {
+        "size_factors": sf,
+        "base_mean": base_mean,
+        "genewise_dispersions": genewise_m,
+        "fitted_dispersions": fitted_m,
+        "trend_coeffs": trend_coeffs,
+        "trend_used_mean": trend_used_mean,
+        "squared_logres": squared_logres,
+        "prior_disp_var": prior_disp_var,
+        **flat,
+    }
+
+    if stats_layer:
+        p = out["p_values"]
+        if cooks_filter:
+            p = jnp.where(out["cooks_outlier"], jnp.nan, p)
+            out["p_values"] = p
+        out["padj"] = jnp.where(
+            gene_mask,
+            device_padj(p, base_mean, gene_mask, alpha, independent_filter),
+            jnp.nan,
+        )
+    return out
+
+
+def run_summary_streamed(
+    counts,
+    design_matrix,
+    contrast,
+    lfc_null: float = 0.0,
+    gene_block: int = 8192,
+    dtype=np.float32,
+    **knobs,
+) -> dict:
+    """Host convenience wrapper: pads genes, fills host inputs, unpads.
+
+    Parameters
+    ----------
+    counts : (G, N) array-like, gene-major raw counts.
+    design_matrix : (N, P) ndarray or DataFrame (cohorts are derived from it).
+    contrast : (P,) vector.
+    lfc_null : natural-log null LFC.
+    knobs : forwarded to :func:`summary_pipeline_streamed`.
+    """
+    counts = np.asarray(counts, dtype=dtype)
+    G, N = counts.shape
+    host = summary_host_inputs(design_matrix)
+    design = np.asarray(
+        design_matrix.values if hasattr(design_matrix, "values") else design_matrix,
+        dtype=dtype,
+    )
+
+    padded_G = math.ceil(G / gene_block) * gene_block
+    if padded_G != G:
+        counts = np.pad(counts, ((0, padded_G - G), (0, 0)))
+    gene_mask = np.arange(padded_G) < G
+
+    out = summary_pipeline_streamed(
+        jnp.asarray(counts),
+        jnp.asarray(design),
+        jnp.asarray(np.asarray(contrast, dtype=dtype)),
+        jnp.asarray(lfc_null, dtype=dtype),
+        jnp.asarray(host["cooks_cutoff"], dtype=dtype),
+        jnp.asarray(gene_mask),
+        gene_block=gene_block,
+        cohort_ids=host["cohort_ids"],
+        use_for_max=host["use_for_max"],
+        **knobs,
+    )
+    return {
+        k: np.asarray(v)[:G] if np.ndim(v) >= 1 and v.shape[0] == padded_G
+        else np.asarray(v)
+        for k, v in out.items()
+    }

@@ -108,6 +108,58 @@ def test_summary_pipeline_multifactor_outliers(counts_df, metadata):
     )
 
 
+def test_fused_trend_mean_fallback_matches_staged():
+    """When the parametric trend degenerates, the fused program must switch
+    to the mean trend IN-PROGRAM exactly where the staged driver does
+    (reference pydeseq2/dds.py:1243-1252).
+
+    Fixture: dispersion *increasing* with mean — the gamma-GLM slope a1 is
+    pushed to its 1e-12 bound, which the staged loop treats as
+    non-convergence.
+    """
+    import pandas as pd
+    import pytest
+
+    rng = np.random.RandomState(0)
+    n, g = 60, 120
+    means = np.geomspace(5, 2000, g)
+    alphas = 0.01 + means / 4000.0
+    cond = np.array(["A", "B"] * (n // 2))
+    counts = np.zeros((n, g), int)
+    for j in range(g):
+        mu = means[j] * (1.0 + 0.3 * (cond == "B"))
+        r = 1.0 / alphas[j]
+        counts[:, j] = rng.negative_binomial(r, r / (r + mu))
+    counts_df = pd.DataFrame(
+        counts,
+        index=[f"s{i}" for i in range(n)],
+        columns=[f"g{j}" for j in range(g)],
+    )
+    metadata = pd.DataFrame({"condition": cond}, index=counts_df.index)
+
+    dds = DeseqDataSet(
+        counts=counts_df, metadata=metadata, design="~condition",
+        refit_cooks=False, quiet=True,
+    )
+    with pytest.warns(UserWarning, match="mean-based dispersion trend"):
+        dds.deseq2()
+    assert dds.uns["disp_function_type"] == "mean"
+
+    out = _fused(counts_df, dds, [0.0, 1.0])
+    assert bool(out["trend_used_mean"]), "fused trend must also fall back"
+    np.testing.assert_allclose(
+        np.asarray(out["fitted_dispersions"]),
+        dds.var["fitted_dispersions"].values,
+        rtol=5e-3,
+        equal_nan=True,
+    )
+    ds = DeseqStats(dds, contrast=["condition", "B", "A"], quiet=True)
+    ds.summary()
+    np.testing.assert_allclose(
+        np.asarray(out["padj"]), ds.padj.values, rtol=5e-3, equal_nan=True
+    )
+
+
 def test_summary_pipeline_gene_mask_padding(counts_df, metadata):
     """Padding lanes (shard-even sizes) must not perturb any global statistic."""
     dds, _ = _staged(
