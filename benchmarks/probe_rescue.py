@@ -49,12 +49,12 @@ def main():
     contrast = jnp.asarray(np.eye(design_np.shape[1])[-1], dtype)
 
     def run(tag):
-        out = fused.wald_pipeline(
+        # No readback here: the timed lambdas below do exactly one host
+        # readback each so the with/without comparison is unbiased.
+        return fused.wald_pipeline(
             counts, X, contrast, jnp.asarray(0.0, dtype),
             max_disp=float(max(10, N)), beta_tol=1e-6,
         )
-        rd = float(jnp.nansum(out["p_values"]))
-        return out
 
     out = run("warm")
     conv = np.asarray(out["irls_converged"])

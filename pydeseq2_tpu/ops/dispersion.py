@@ -136,7 +136,11 @@ def alpha_mle_batch(
     # start; 8 points matches the 32-point scan to <1e-7 relative on the
     # golden fixtures while cutting the second-biggest block of objective
     # evaluations in the dispersion stage.
-    step2_f = 2.0 * step1_f / (fine_length - 1)
+    # Spacing of the fine scan that actually runs: the XLA fine pass uses
+    # fine_length points, the Pallas scan re-uses K=grid_length points over
+    # the same +/- step1 window.
+    fine_points = grid_length if use_pallas else fine_length
+    step2_f = 2.0 * step1_f / (fine_points - 1)
 
     coarse_vals = None
     if use_pallas:
@@ -298,7 +302,25 @@ def alpha_mle_batch(
     la_fit, f_fit = jax.lax.fori_loop(0, newton_iters, newton_body, (la2, f2))
 
     alpha = jnp.exp(la_fit)
-    converged = jnp.isfinite(f_fit)
+    # Converged = the polished point is a (projected) stationary point: the
+    # predicted objective decrease from one more step — the Newton decrement
+    # g^2/2h where curvature is positive, else a fine-grid-step move |g|*step2
+    # — is below a dtype-scaled relative tolerance. Gradient components that
+    # push outward at an active bound are projected to zero first, so lanes
+    # pinned at min/max_disp report converged like the reference's bounded
+    # L-BFGS-B does (parity: per-gene ``res.success``, reference
+    # pydeseq2/utils.py:554-564).
+    g_fin = grad(la_fit)
+    h_fin = curv(la_fit)
+    at_lo = la_fit <= lo
+    at_hi = la_fit >= hi
+    pg = jnp.where(at_lo & (g_fin > 0), 0.0, g_fin)
+    pg = jnp.where(at_hi & (pg < 0), 0.0, pg)
+    decrement = jnp.where(
+        h_fin > 0, pg * pg / (2.0 * jnp.abs(h_fin)), jnp.abs(pg) * step2
+    )
+    ftol = 1e3 * jnp.finfo(dtype).eps
+    converged = jnp.isfinite(f_fit) & (decrement <= ftol * (jnp.abs(f_fit) + 1.0))
     if return_coarse:
         return alpha, converged, coarse_vals
     return alpha, converged

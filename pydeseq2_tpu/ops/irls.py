@@ -75,7 +75,11 @@ def irls_core(
     though the same lane converges in one step in f64. Such lanes ARE
     converged. None = dtype default: 1e-5 absolute for f32 (iterate noise
     there is ~1e-6; dispersion/Wald results are insensitive at <1e-5),
-    disabled for f64 (reference-exact stopping semantics).
+    disabled for f64 (reference-exact stopping semantics). The stop fires
+    only after TWO consecutive sub-tolerance steps, so a lane making slow
+    monotone progress along a flat direction (single steps just under the
+    tolerance but still descending) is not mistaken for f32 iterate noise
+    and keeps iterating toward the maxiter/Newton-rescue path.
     """
     X = design_matrix
     G, N = counts.shape
@@ -119,7 +123,7 @@ def irls_core(
     nll_const = nb_nll(counts, mu0, disp) - mu_part(mu0, log_mu0)
 
     def body(state):
-        beta, mu, log_mu_sf, dev, active, needs_fb, it = state
+        beta, mu, log_mu_sf, dev, active, needs_fb, prev_small, it = state
         W = mu / (1.0 + mu * disp[:, None])
         z = log_mu_sf + (counts - mu) / mu
         M = _weighted_gram(X, W) + ridge
@@ -137,24 +141,43 @@ def irls_core(
         new_dev = -2.0 * (nll_const + mu_part(new_mu, new_log_mu))
         dev_ratio = jnp.abs(new_dev - dev) / (jnp.abs(new_dev) + 0.1)
         still_active = step_ok & (dev_ratio > beta_tol)
+        step_small = jnp.zeros((G,), dtype=bool)
         if step_tol > 0.0:
             step_small = jnp.abs(beta_hat - beta).max(axis=1) <= step_tol
-            still_active = still_active & ~step_small
+            still_active = still_active & ~(step_small & prev_small)
 
         dev = jnp.where(step_ok, new_dev, dev)
-        return new_beta, new_mu, new_log_mu_sf, dev, still_active, needs_fb | new_fb, it
+        return (
+            new_beta,
+            new_mu,
+            new_log_mu_sf,
+            dev,
+            still_active,
+            needs_fb | new_fb,
+            step_small,
+            it,
+        )
 
     def cond(state):
-        _, _, _, _, active, _, it = state
+        _, _, _, _, active, _, _, it = state
         return active.any() & (it < maxiter)
 
     dev0 = jnp.full((G,), 1000.0, dtype=dtype)
     active0 = jnp.ones((G,), dtype=bool)
     fb0 = jnp.zeros((G,), dtype=bool)
-    beta, _, _, dev, active, needs_fb, it = jax.lax.while_loop(
+    beta, _, _, dev, active, needs_fb, _, it = jax.lax.while_loop(
         cond,
         body,
-        (beta_init, mu0, log_mu_sf0, dev0, active0, fb0, jnp.array(0, dtype=jnp.int32)),
+        (
+            beta_init,
+            mu0,
+            log_mu_sf0,
+            dev0,
+            active0,
+            fb0,
+            jnp.zeros((G,), dtype=bool),
+            jnp.array(0, dtype=jnp.int32),
+        ),
     )
     # Lanes still active after the loop ran out hit maxiter.
     needs_fb = needs_fb | active

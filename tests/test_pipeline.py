@@ -236,3 +236,52 @@ def test_design_matrix_init(counts_df, metadata, tol=0.02):
     ds = DeseqStats(dds, contrast=np.array([0, 1]), quiet=True)
     ds.summary()
     assert_res_almost_equal(ds.results_df, r_res, tol)
+
+
+def test_convergence_flags_parity(counts_df, metadata):
+    """Optimizer-convergence diagnostics match reference semantics.
+
+    The reference stores per-gene scipy L-BFGS-B ``res.success`` as
+    ``_genewise_converged``/``_MAP_converged`` and the IRLS flag as
+    ``_LFC_converged``, NaN on all-zero genes (reference
+    pydeseq2/dds.py:796-797,922-923,983-984). On the synthetic fixture every
+    non-zero gene converges in the reference; a vacuous always-True criterion
+    would also pass here, so additionally pin that the criterion is REAL:
+    a solver capped at zero polish iterations on a handful of lanes must not
+    report spurious non-convergence on the fixture's well-behaved genes
+    (grid+Newton criterion = projected Newton decrement, not isfinite).
+    """
+    dds = DeseqDataSet(
+        counts=counts_df, metadata=metadata, design="~condition", quiet=True
+    )
+    dds.deseq2()
+
+    zero = ~dds.var["non_zero"].values
+    for col in ("_genewise_converged", "_MAP_converged", "_LFC_converged"):
+        flags = dds.var[col].values
+        assert np.isnan(flags[zero]).all(), col
+        assert (flags[~zero] == 1.0).all(), col
+
+    # The criterion itself: a point far from the optimum (grid+polish
+    # disabled, started at max_disp) must NOT be reported converged.
+    import jax.numpy as jnp
+
+    from pydeseq2_tpu.ops.dispersion import alpha_mle_batch
+
+    nz = dds.var["non_zero"].values
+    counts_nz = jnp.asarray(dds.X[:, nz].T, jnp.float64)
+    design = jnp.asarray(dds.obsm["design_matrix"].values, jnp.float64)
+    mu = jnp.asarray(dds.layers["_mu_hat"][:, nz].T, jnp.float64)
+    alpha_hat = jnp.asarray(dds.var.loc[nz, "_MoM_dispersions"].values)
+    _, conv = alpha_mle_batch(
+        counts_nz,
+        design,
+        mu,
+        alpha_hat,
+        min_disp=dds.min_disp,
+        max_disp=dds.max_disp,
+        grid_length=2,
+        fine_length=2,
+        newton_iters=0,
+    )
+    assert not bool(np.asarray(conv).all())
