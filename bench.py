@@ -11,9 +11,11 @@ Prints ONE JSON line:
   BASELINE_MEASURED.json; the reference repo publishes no numbers of its own,
   see BASELINE.md).
 
-Env knobs: BENCH_SAMPLES (100), BENCH_GENES (10000), BENCH_DTYPE
-(float32|float64, default float32 - validated against f64 golden results in
-tests), BENCH_REPS (3).
+Env knobs: BENCH_SAMPLES (100), BENCH_GENES (60000 - the BASELINE.json
+north-star throughput config), BENCH_DTYPE (float32|float64, default float32 -
+validated against f64 golden results in tests), BENCH_REPS (3), BENCH_STAGES
+(1 = also time each component kernel separately and print the split to
+stderr; 0 to skip).
 """
 
 from __future__ import annotations
@@ -35,9 +37,10 @@ if os.environ.get("BENCH_DTYPE", "float32") != "float64":
 
 def main() -> None:
     n_samples = int(os.environ.get("BENCH_SAMPLES", 100))
-    n_genes = int(os.environ.get("BENCH_GENES", 10_000))
+    n_genes = int(os.environ.get("BENCH_GENES", 60_000))
     dtype_name = os.environ.get("BENCH_DTYPE", "float32")
     reps = int(os.environ.get("BENCH_REPS", 3))
+    with_stages = os.environ.get("BENCH_STAGES", "1") == "1"
 
     import jax
     import jax.numpy as jnp
@@ -113,6 +116,117 @@ def main() -> None:
         f"# wall={best:.3f}s compile={compile_s:.1f}s reps={times} "
         f"device={jax.devices()[0]}",
         file=sys.stderr,
+    )
+
+    if with_stages:
+        # Per-stage split: each component kernel timed as its own program
+        # (steady-state, one host-readback barrier each). Stage sum exceeds
+        # the fused wall because the fused program deduplicates shared work
+        # (mu rebuilds, normed counts) and XLA fuses across stage boundaries.
+        try:
+            _stage_split(counts_d, design_d, contrast_d, n_samples, dtype)
+        except Exception as e:  # never let diagnostics break the bench line
+            print(f"# stage split failed: {e!r}", file=sys.stderr)
+
+
+def _stage_split(counts, X, contrast, n_samples, dtype) -> None:
+    import jax.numpy as jnp
+
+    from pydeseq2_tpu.fused import _size_factors
+    from pydeseq2_tpu.ops.dispersion import alpha_mle_batch
+    from pydeseq2_tpu.ops.irls import hat_diagonals, irls_beta_init, irls_core
+    from pydeseq2_tpu.ops.linreg import (
+        fit_lin_mu_batch,
+        fit_moments_dispersions_batch,
+        fit_rough_dispersions_batch,
+    )
+    from pydeseq2_tpu.ops.wald import wald_test_batch
+
+    G, N = counts.shape
+    P = X.shape[1]
+    mask = jnp.ones((G,), bool)
+    max_disp = float(max(10, n_samples))
+    beta_tol = 1e-8 if dtype == jnp.float64 else 1e-6
+
+    def timed(label, fn):
+        fn()  # compile
+        t0 = time.perf_counter()
+        checksum = fn()  # one steady-state rep w/ host readback inside fn
+        dt = time.perf_counter() - t0
+        print(f"# stage {label:24s} {dt * 1e3:9.2f} ms", file=sys.stderr)
+        return checksum
+
+    rd = lambda x: float(jnp.nansum(x))
+
+    sf, _ = _size_factors(counts, mask)
+    normed = counts / sf[None, :]
+    timed("size_factors", lambda: rd(_size_factors(counts, mask)[0]))
+    mom = jnp.clip(
+        jnp.minimum(
+            fit_rough_dispersions_batch(normed, X),
+            fit_moments_dispersions_batch(normed, sf),
+        ),
+        1e-8,
+        max_disp,
+    )
+    timed(
+        "mom_dispersions",
+        lambda: rd(
+            jnp.minimum(
+                fit_rough_dispersions_batch(normed, X),
+                fit_moments_dispersions_batch(normed, sf),
+            )
+        ),
+    )
+    mu_hat = fit_lin_mu_batch(counts, sf, X, 0.5)
+    timed("mu_init(linear)", lambda: rd(fit_lin_mu_batch(counts, sf, X, 0.5)))
+    timed(
+        "genewise_dispersions",
+        lambda: rd(
+            alpha_mle_batch(
+                counts, X, mu_hat, mom, 1e-8, max_disp, cr_reg=True, prior_reg=False
+            )[0]
+        ),
+    )
+    disp, _ = alpha_mle_batch(counts, X, mu_hat, mom, 1e-8, max_disp)
+    timed(
+        "map_dispersions",
+        lambda: rd(
+            alpha_mle_batch(
+                counts,
+                X,
+                mu_hat,
+                disp,
+                1e-8,
+                max_disp,
+                prior_disp_var=0.5,
+                cr_reg=True,
+                prior_reg=True,
+            )[0]
+        ),
+    )
+    beta_init = irls_beta_init(counts, sf, X)
+    timed("irls_beta_init", lambda: rd(irls_beta_init(counts, sf, X)))
+    timed(
+        "irls_core",
+        lambda: rd(
+            irls_core(counts, sf, X, disp, beta_init, min_mu=0.5, beta_tol=beta_tol)[0]
+        ),
+    )
+    beta, _, _ = irls_core(counts, sf, X, disp, beta_init, min_mu=0.5, beta_tol=beta_tol)
+    timed(
+        "hat_diagonals",
+        lambda: rd(hat_diagonals(counts, sf, X, disp, beta, min_mu=0.5)[0]),
+    )
+    H, mu = hat_diagonals(counts, sf, X, disp, beta, min_mu=0.5)
+    ridge = 1e-6 * jnp.eye(P, dtype=dtype)
+    timed(
+        "wald_test",
+        lambda: rd(
+            wald_test_batch(
+                X, disp, beta, mu, ridge, contrast, jnp.asarray(0.0, dtype), None
+            )[0]
+        ),
     )
 
 

@@ -1,0 +1,211 @@
+"""On-device conformance: R DESeq2 golden fixtures through the f32 TPU paths.
+
+The CI suite runs every golden test on CPU (f64 by default); this script
+produces the committed artifact demonstrating the same fixtures pass ON THE
+ACTUAL DEVICE with the TPU dtype (f32) and the TPU stopping rules
+(beta_tol=1e-6 + step_tol secondary stop; see tests/test_f32.py for why).
+
+Runs, per fixture (single-factor / multifactor / continuous):
+  - the staged DeseqDataSet + DeseqStats pipeline (refit_cooks as in the
+    golden tests),
+  - the fused one-program summary pipeline (refit_cooks=False semantics,
+    compared against the same CSV the no-refit golden test uses),
+  - the gene-streamed pipeline (single-factor, forced multi-block),
+
+and records max relative errors of log2FoldChange / pvalue / padj vs the
+frozen R DESeq2 v1.34.0 CSVs plus NaN-mask equality, with the reference
+repo's own tolerance scheme (2%, 4% for multifactor/continuous — reference
+tests/test_pydeseq2.py:94,435,932-943). Writes TPU_CONFORMANCE.json.
+
+Usage: python benchmarks/tpu_conformance.py   (plain `python` = axon TPU;
+       prefix `env JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS=` for a CPU f32 run)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ["PYDESEQ2_TPU_NO_X64"] = "1"  # f32: the TPU-native dtype
+
+import numpy as np
+import pandas as pd
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+DATA = ROOT / "tests" / "data"
+
+F32_BETA_TOL = 1e-6  # above the f32 deviance-ratio noise floor
+
+
+def compare(res_df: pd.DataFrame, r_res: pd.DataFrame, tol: float) -> dict:
+    """Reference checker semantics (tests/test_pydeseq2.py:932-943) as data."""
+    out = {
+        "nan_mask_pvalue_equal": bool((res_df.pvalue.isna() == r_res.pvalue.isna()).all()),
+        "nan_mask_padj_equal": bool((res_df.padj.isna() == r_res.padj.isna()).all()),
+        "tol": tol,
+    }
+    rels = {}
+    rels["log2FoldChange"] = float(
+        (abs(r_res.log2FoldChange - res_df.log2FoldChange) / abs(r_res.log2FoldChange)).max()
+    )
+    rels["pvalue"] = float((abs(r_res.pvalue - res_df.pvalue) / r_res.pvalue).max())
+    rels["padj"] = float((abs(r_res.padj - res_df.padj) / r_res.padj).max())
+    out["max_rel_err"] = rels
+    # The relative-error criterion divides by |R log2FC| with no floor, so a
+    # gene whose true fold-change is ~0 amplifies f32 noise (abs err ~3e-5 in
+    # log2 units — the f32 gradient noise floor of the NB GLM) into an
+    # arbitrarily large relative figure the f64-calibrated scheme was never
+    # meant to judge. Report the absolute error and the relative error over
+    # genes with a non-degenerate fold-change (|log2FC| >= 0.01) alongside.
+    out["max_abs_err_log2FC"] = float(
+        abs(r_res.log2FoldChange - res_df.log2FoldChange).max()
+    )
+    nondeg = abs(r_res.log2FoldChange) >= 0.01
+    out["max_rel_err_log2FC_nondegenerate"] = float(
+        (
+            abs(r_res.log2FoldChange - res_df.log2FoldChange)[nondeg]
+            / abs(r_res.log2FoldChange)[nondeg]
+        ).max()
+    )
+    out["pass"] = (
+        out["nan_mask_pvalue_equal"]
+        and out["nan_mask_padj_equal"]
+        and all(v < tol for v in rels.values())
+    )
+    out["pass_excluding_degenerate_lfc"] = (
+        out["nan_mask_pvalue_equal"]
+        and out["nan_mask_padj_equal"]
+        and out["max_rel_err_log2FC_nondegenerate"] < tol
+        and rels["pvalue"] < tol
+        and rels["padj"] < tol
+    )
+    return out
+
+
+def fused_results_df(out: dict, contrast: np.ndarray, index) -> pd.DataFrame:
+    lfc = np.asarray(out["lfc"], float)
+    return pd.DataFrame(
+        {
+            "log2FoldChange": (lfc @ np.asarray(contrast, float)) / np.log(2),
+            "pvalue": np.asarray(out["p_values"], float),
+            "padj": np.asarray(out["padj"], float),
+        },
+        index=index,
+    )
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from pydeseq2_tpu import DeseqDataSet, DeseqStats
+    from pydeseq2_tpu.fused import summary_host_inputs, summary_pipeline
+    from pydeseq2_tpu.fused_stream import run_summary_streamed
+    from pydeseq2_tpu.utils import load_example_data
+
+    device = str(jax.devices()[0])
+    results: dict = {"device": device, "dtype": "float32", "beta_tol": F32_BETA_TOL}
+
+    def staged(counts_df, metadata, design, contrast, refit_cooks=True):
+        dds = DeseqDataSet(
+            counts=counts_df,
+            metadata=metadata,
+            design=design,
+            refit_cooks=refit_cooks,
+            beta_tol=F32_BETA_TOL,
+            quiet=True,
+        )
+        dds.deseq2()
+        ds = DeseqStats(dds, contrast=contrast, quiet=True)
+        ds.summary()
+        return dds, ds
+
+    def fused(counts_df, dds, contrast_vec):
+        host = summary_host_inputs(dds.obsm["design_matrix"])
+        out = summary_pipeline(
+            jnp.asarray(counts_df.values.T, jnp.float32),
+            jnp.asarray(dds.obsm["design_matrix"].values, jnp.float32),
+            jnp.asarray(np.asarray(contrast_vec), jnp.float32),
+            jnp.asarray(0.0, jnp.float32),
+            jnp.asarray(host["cooks_cutoff"], jnp.float32),
+            cohort_ids=host["cohort_ids"],
+            use_for_max=host["use_for_max"],
+            mu_init=host["mu_init"],
+            max_disp=float(max(10, counts_df.shape[0])),
+            beta_tol=F32_BETA_TOL,
+        )
+        return fused_results_df(out, contrast_vec, counts_df.columns)
+
+    # ---- single factor ------------------------------------------------------
+    counts_df = load_example_data("raw_counts")
+    metadata = load_example_data("metadata")
+    r_res = pd.read_csv(DATA / "single_factor" / "r_test_res.csv", index_col=0)
+
+    t0 = time.perf_counter()
+    dds, ds = staged(counts_df, metadata, "~condition", ["condition", "B", "A"])
+    results["single_factor_staged"] = compare(ds.results_df, r_res, 0.02)
+    results["single_factor_staged"]["wall_s"] = round(time.perf_counter() - t0, 1)
+
+    cvec = np.array([0.0, 1.0])
+    results["single_factor_fused"] = compare(fused(counts_df, dds, cvec), r_res, 0.02)
+
+    streamed = run_summary_streamed(
+        counts_df.values.T,
+        dds.obsm["design_matrix"],
+        cvec,
+        gene_block=4,  # 10 genes -> 3 blocks with padding: exercises streaming
+        max_disp=float(max(10, counts_df.shape[0])),
+        beta_tol=F32_BETA_TOL,
+    )
+    results["single_factor_streamed"] = compare(
+        fused_results_df(streamed, cvec, counts_df.columns), r_res, 0.02
+    )
+
+    # ---- multifactor --------------------------------------------------------
+    r_res = pd.read_csv(DATA / "multi_factor" / "r_test_res.csv", index_col=0)
+    dds, ds = staged(
+        counts_df, metadata, "~group + condition", ["condition", "B", "A"]
+    )
+    results["multifactor_staged"] = compare(ds.results_df, r_res, 0.04)
+    cvec = np.array([0.0, 0.0, 1.0])
+    results["multifactor_fused"] = compare(fused(counts_df, dds, cvec), r_res, 0.04)
+
+    # ---- continuous covariate ----------------------------------------------
+    counts_df = pd.read_csv(DATA / "continuous" / "test_counts.csv", index_col=0).T
+    metadata = pd.read_csv(DATA / "continuous" / "test_metadata.csv", index_col=0)
+    r_res = pd.read_csv(DATA / "continuous" / "r_test_res.csv", index_col=0)
+    dds = DeseqDataSet(
+        counts=counts_df,
+        metadata=metadata,
+        design="~group + condition + measurement",
+        beta_tol=F32_BETA_TOL,
+        quiet=True,
+    )
+    dds.deseq2()
+    cvec = np.zeros(dds.obsm["design_matrix"].shape[1])
+    cvec[-1] = 1
+    ds = DeseqStats(dds, contrast=cvec, quiet=True)
+    ds.summary()
+    results["continuous_staged"] = compare(ds.results_df, r_res, 0.04)
+    results["continuous_fused"] = compare(fused(counts_df, dds, cvec), r_res, 0.04)
+
+    results["all_pass"] = all(
+        v["pass"] for v in results.values() if isinstance(v, dict) and "pass" in v
+    )
+    results["all_pass_excluding_degenerate_lfc"] = all(
+        v["pass_excluding_degenerate_lfc"]
+        for v in results.values()
+        if isinstance(v, dict) and "pass" in v
+    )
+    out_path = ROOT / "TPU_CONFORMANCE.json"
+    out_path.write_text(json.dumps(results, indent=2) + "\n")
+    print(json.dumps(results, indent=2))
+    print(f"wrote {out_path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

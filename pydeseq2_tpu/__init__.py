@@ -23,6 +23,16 @@ import jax
 if not os.environ.get("PYDESEQ2_TPU_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
+# On TPU, f32 matmuls/einsums default to bf16 MXU passes. The IRLS Gram
+# matrices, linear predictors (beta @ X.T), and Cox-Reid information matrices
+# all flow through dots whose error at bf16 (~3 decimal digits) sits ABOVE the
+# solvers' stopping tolerances: measured on a v5e, ~37% of IRLS lanes then
+# never satisfy the deviance stop, cascade into the Newton rescue, and the
+# pipeline both slows down and loses golden parity. These dots are thin
+# (P <= ~8 design columns) and HBM-bound, so full-f32 multiply costs nothing
+# measurable; pin it globally.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 from pydeseq2_tpu.api import run_deseq2  # noqa: E402
 from pydeseq2_tpu.container import DeseqDataContainer  # noqa: E402
 from pydeseq2_tpu.models.dataset import DeseqDataSet  # noqa: E402

@@ -640,8 +640,12 @@ def summary_host_inputs(design_matrix) -> dict:
     Computes, from the design matrix (pandas DataFrame or ndarray), the
     design-only constants the fused summary program needs: the F(0.99, p,
     n-p) Cook's cutoff (reference pydeseq2/dds.py:1080), the >= 3-replicate
-    sample mask (reference pydeseq2/utils.py:888-911) and the cohort ids of
-    those samples in first-seen order (reference pydeseq2/utils.py:925-936).
+    sample mask (reference pydeseq2/utils.py:888-911), the cohort ids of
+    those samples in first-seen order (reference pydeseq2/utils.py:925-936),
+    and the dispersion-stage ``mu_init`` mode: "linear" when design rows
+    group 1:1 onto columns (pure categorical designs), "irls" otherwise —
+    e.g. continuous covariates (reference pydeseq2/dds.py:743-765; using
+    "linear" there skews the genewise dispersions and everything downstream).
     """
     import numpy as np
     import pandas as pd
@@ -667,6 +671,7 @@ def summary_host_inputs(design_matrix) -> dict:
         "cooks_cutoff": float(f.ppf(0.99, p, n - p)),
         "use_for_max": tuple(bool(b) for b in three_or_more),
         "cohort_ids": cohort_ids,
+        "mu_init": "linear" if len(df.value_counts()) == p else "irls",
     }
 
 

@@ -59,32 +59,57 @@ _MAD_SCALE = 0.6744897501960817  # Phi^{-1}(0.75)
 
 
 def _streamed_size_factors(
-    counts: jnp.ndarray, gene_mask: jnp.ndarray, logmeans: jnp.ndarray
+    counts: jnp.ndarray,
+    gene_mask: jnp.ndarray,
+    logmeans: jnp.ndarray,
+    sample_block: int | None = None,
 ) -> jnp.ndarray:
-    """Median-of-ratios size factors via one full-matrix sort.
+    """Median-of-ratios size factors via per-sample sorts, sample-blocked.
 
     The per-sample median runs over the *same* filtered gene set for every
     sample, so the two middle order statistics sit at fixed ranks: push
-    excluded genes to +inf, sort each sample's column once, gather ranks
-    (m-1)//2 and m//2. Peak extra memory: 2 x (G, N) for the ratio matrix
-    and its sort — the only full-matrix temporaries in the streamed program.
+    excluded genes to +inf, sort each sample's column, gather ranks
+    (m-1)//2 and m//2. With ``sample_block=None`` the whole (G, N) ratio
+    matrix is formed and sorted at once — fine up to ~1k samples x 60k genes
+    — but at the 10k-sample atlas scale the ratio matrix + sort scratch is
+    several extra full-size (G, N) buffers (~10 GB) and crashes a 16 GB
+    chip; ``sample_block`` streams column blocks through one lax.map'd sort
+    so peak extra memory is O(G x sample_block). N must be a multiple of
+    ``sample_block`` (the host wrapper picks a divisor).
     """
     filtered = ~jnp.isinf(logmeans) & gene_mask
     m = filtered.sum()
     k_lo = jnp.maximum((m - 1) // 2, 0)
     k_hi = m // 2
-    ratios = jnp.where(
-        filtered[:, None], jnp.log(counts) - logmeans[:, None], jnp.inf
-    )
-    ranked = jnp.sort(ratios, axis=0)
-    med = (jnp.take(ranked, k_lo, axis=0) + jnp.take(ranked, k_hi, axis=0)) / 2.0
-    return jnp.exp(med)
+
+    def med_of_cols(cols):
+        ratios = jnp.where(
+            filtered[:, None], jnp.log(cols) - logmeans[:, None], jnp.inf
+        )
+        ranked = jnp.sort(ratios, axis=0)
+        return (jnp.take(ranked, k_lo, axis=0) + jnp.take(ranked, k_hi, axis=0)) / 2.0
+
+    G, N = counts.shape
+    if sample_block is None or sample_block >= N:
+        return jnp.exp(med_of_cols(counts))
+    assert N % sample_block == 0, "sample_block must divide N"
+    nb = N // sample_block
+    # Slice column blocks in-loop (a moveaxis/reshape would materialize a
+    # transposed full-size copy of counts — the buffer this path avoids).
+    med = jax.lax.map(
+        lambda i: med_of_cols(
+            jax.lax.dynamic_slice(counts, (0, i * sample_block), (G, sample_block))
+        ),
+        jnp.arange(nb),
+    )  # (nb, sb)
+    return jnp.exp(med.reshape(N))
 
 
 @partial(
     jax.jit,
     static_argnames=(
         "gene_block",
+        "sample_block",
         "cohort_ids",
         "use_for_max",
         "alpha",
@@ -109,6 +134,7 @@ def summary_pipeline_streamed(
     gene_mask: jnp.ndarray | None = None,
     *,
     gene_block: int = 8192,
+    sample_block: int | None = None,
     cohort_ids: tuple[int, ...] | None = None,
     use_for_max: tuple[bool, ...] | None = None,
     alpha: float = 0.05,
@@ -156,7 +182,7 @@ def summary_pipeline_streamed(
     logmeans = logmeans.reshape(G)
     non_zero = non_zero.reshape(G)
 
-    sf = _streamed_size_factors(counts, gene_mask, logmeans)
+    sf = _streamed_size_factors(counts, gene_mask, logmeans, sample_block)
 
     def mu_hat_block(c):
         if mu_init == "irls":
@@ -356,6 +382,16 @@ def run_summary_streamed(
         counts = np.pad(counts, ((0, padded_G - G), (0, 0)))
     gene_mask = np.arange(padded_G) < G
 
+    knobs.setdefault("mu_init", host["mu_init"])
+    if "sample_block" not in knobs:
+        # Sample-block the size-factor medians once the full ratio matrix
+        # would cost more than ~1 GB of extra device memory: largest divisor
+        # of N at or below 1024 (None when N is awkwardly prime - the 1-block
+        # fallback is the monolithic sort).
+        if G * N * np.dtype(dtype).itemsize > 1_000_000_000:
+            divisors = [d for d in range(1, min(N, 1024) + 1) if N % d == 0]
+            sb = divisors[-1]
+            knobs["sample_block"] = sb if sb > 1 else None
     out = summary_pipeline_streamed(
         jnp.asarray(counts),
         jnp.asarray(design),

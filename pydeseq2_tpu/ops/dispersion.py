@@ -296,7 +296,15 @@ def alpha_mle_batch(
         step = jnp.clip(raw, -clipw, clipw)
         cand = jnp.clip(la - step, lo, hi)
         f_cand = obj(cand)
-        better = f_cand < f_best
+        # Near the optimum the objective difference is below the f32 noise
+        # floor while the GRADIENT still carries signal: a strict descent
+        # gate there freezes lanes at fine-grid resolution (~step2 error in
+        # log-alpha, i.e. ~10% dispersion error). A small unclipped positive-
+        # curvature Newton step is a contraction inside the basin — accept it
+        # unconditionally; keep the descent safeguard for large/clipped steps
+        # (in f64 the descent gate accepts these anyway, so goldens agree).
+        contraction = (h > 0) & (jnp.abs(raw) <= clipw)
+        better = contraction | (f_cand < f_best)
         return jnp.where(better, cand, la), jnp.where(better, f_cand, f_best)
 
     la_fit, f_fit = jax.lax.fori_loop(0, newton_iters, newton_body, (la2, f2))

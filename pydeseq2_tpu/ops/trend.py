@@ -84,8 +84,17 @@ def gamma_glm_trend_fit(
     c0 = jnp.array([1.0, 1.0], dtype=dtype)
     coeffs, f_val = jax.lax.fori_loop(0, maxiter, body, (c0, loss(c0)))
     predictions = x @ coeffs
+    # Converged = projected Newton decrement below a dtype-scaled relative
+    # tolerance. An absolute gradient threshold misreports in f32: the fit
+    # lands at the f64 optimum to ~1e-4 relative, but the gradient noise
+    # floor sits above any fixed cutoff tight enough for f64, and a false
+    # "not converged" here forces the model layer into the mean-trend
+    # fallback on data the reference fits parametrically.
     g_final = grad(coeffs)
     at_bound = (coeffs <= _LOWER * (1 + 1e-9)) & (g_final > 0)
     pg = jnp.where(at_bound, 0.0, g_final)
-    converged = jnp.isfinite(f_val) & (jnp.abs(pg).max() < 1e-6)
+    H_final = fisher(coeffs) + 1e-12 * jnp.eye(2, dtype=dtype)
+    decrement = 0.5 * pg @ jnp.linalg.solve(H_final, pg)
+    ftol = 1e3 * jnp.finfo(dtype).eps
+    converged = jnp.isfinite(f_val) & (decrement <= ftol * (jnp.abs(f_val) + 1.0))
     return coeffs, predictions, converged

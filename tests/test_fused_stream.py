@@ -133,3 +133,37 @@ def test_streamed_wald_only_surface(counts_df, metadata):
     )
     assert "padj" not in out and "cooks_outlier" not in out
     assert np.isfinite(out["p_values"]).all()
+
+
+def test_streamed_sample_blocked_size_factors(counts_df, metadata):
+    """Sample-blocked median-of-ratios equals the monolithic sort.
+
+    At atlas scale (10k samples x 60k genes) the full (G, N) ratio matrix +
+    sort scratch exceeds a 16 GB chip; sample_block streams column blocks
+    through one mapped sort with identical ranks, so the size factors — and
+    everything downstream — must be bit-comparable.
+    """
+    dds, _ = _staged(counts_df, metadata, "~condition", ["condition", "B", "A"])
+    base = run_summary_streamed(
+        counts_df.values.T,
+        dds.obsm["design_matrix"],
+        [0.0, 1.0],
+        gene_block=4,
+        dtype=np.float64,
+        max_disp=float(max(10, counts_df.shape[0])),
+    )
+    blocked = run_summary_streamed(
+        counts_df.values.T,
+        dds.obsm["design_matrix"],
+        [0.0, 1.0],
+        gene_block=4,
+        sample_block=20,  # 100 samples -> 5 column blocks
+        dtype=np.float64,
+        max_disp=float(max(10, counts_df.shape[0])),
+    )
+    np.testing.assert_allclose(
+        blocked["size_factors"], base["size_factors"], rtol=0, atol=0
+    )
+    np.testing.assert_allclose(
+        blocked["padj"], base["padj"], rtol=1e-12, equal_nan=True
+    )

@@ -206,3 +206,44 @@ def test_summary_pipeline_gene_mask_padding(counts_df, metadata):
         equal_nan=True,
     )
     assert np.isnan(np.asarray(padded["padj"])[G:]).all()
+
+
+def test_summary_pipeline_continuous_covariate():
+    """Continuous designs must select the IRLS mu-init, like the staged layer.
+
+    Design rows with a continuous covariate cannot group 1:1 onto columns, so
+    the reference initializes the dispersion-stage mu with one IRLS round
+    instead of the linear regression (pydeseq2/dds.py:743-765). Regression
+    guard: running the fused pipeline with the linear init here skews the
+    genewise dispersions by ~30% and p-values by orders of magnitude.
+    summary_host_inputs must report mu_init="irls" for such designs.
+    """
+    import pandas as pd
+
+    from conftest import data_path
+
+    counts_df = pd.read_csv(data_path("continuous", "test_counts.csv"), index_col=0).T
+    metadata = pd.read_csv(data_path("continuous", "test_metadata.csv"), index_col=0)
+    dds, _ = _staged(
+        counts_df,
+        metadata,
+        "~group + condition + measurement",
+        np.eye(4)[-1],
+    )
+    host = summary_host_inputs(dds.obsm["design_matrix"])
+    assert host["mu_init"] == "irls"
+
+    cvec = np.zeros(dds.obsm["design_matrix"].shape[1])
+    cvec[-1] = 1
+    ds = DeseqStats(dds, contrast=cvec, quiet=True)
+    ds.summary()
+    out = _fused(counts_df, dds, cvec, mu_init=host["mu_init"])
+    np.testing.assert_allclose(
+        np.asarray(out["dispersions"]),
+        dds.var["dispersions"].values,
+        rtol=1e-4,
+        equal_nan=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["p_values"]), ds.p_values.values, rtol=5e-3, equal_nan=True
+    )
