@@ -110,21 +110,6 @@ def _irls_with_rescue(
     return beta, converged
 
 
-def _trimmed_mean_cut(values: jnp.ndarray, sel: jnp.ndarray, cut: float) -> jnp.ndarray:
-    """Trimmed mean (proportion ``cut`` off each tail) over selected lanes.
-
-    Parity: scipy.stats.trim_mean as used by reference pydeseq2/dds.py:1292.
-    """
-    G = values.shape[0]
-    sorted_vals = jnp.sort(jnp.where(sel, values, jnp.inf))
-    n_sel = sel.sum()
-    ntrim = jnp.floor(n_sel * cut).astype(jnp.int32)
-    idx = jnp.arange(G)
-    in_range = (idx >= ntrim) & (idx < n_sel - ntrim)
-    safe = jnp.where(jnp.isinf(sorted_vals), 0.0, sorted_vals)
-    return jnp.where(in_range, safe, 0.0).sum() / jnp.maximum(in_range.sum(), 1)
-
-
 def fit_fused_trend(
     base_mean: jnp.ndarray,
     genewise_m: jnp.ndarray,
@@ -154,7 +139,7 @@ def fit_fused_trend(
     """
     dtype = base_mean.dtype
     sel = genewise_m > 10.0 * min_disp
-    mean_disp = _trimmed_mean_cut(genewise_m, sel, 0.001)
+    mean_disp = stats_ops.trimmed_mean_masked(genewise_m, sel, 0.001)
 
     if trend_type == "mean":
         G = base_mean.shape[0]

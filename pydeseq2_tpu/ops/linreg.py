@@ -88,9 +88,7 @@ def fit_moments_dispersions_batch(
     n = normed_counts.shape[1]
     s_mean_inv = (1.0 / size_factors).mean()
     mu = normed_counts.mean(axis=1)
-    sigma = normed_counts.var(axis=1, ddof=1) * 1.0
-    # ddof=1 handled by jnp.var's ddof argument only in recent versions; do it
-    # explicitly to be safe.
+    # Explicit ddof=1 variance (jnp.var's ddof argument is version-dependent).
     sigma = ((normed_counts - mu[:, None]) ** 2).sum(axis=1) / (n - 1)
     raw = (sigma - s_mean_inv * mu) / mu**2
     return jnp.nan_to_num(raw)

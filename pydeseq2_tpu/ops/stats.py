@@ -50,6 +50,27 @@ def scipy_style_trim_mean(x: jnp.ndarray, proportiontocut: float, axis: int = 0)
     return trimmed_mean(x, trim=proportiontocut, axis=axis)
 
 
+def trimmed_mean_masked(
+    values: jnp.ndarray, sel: jnp.ndarray, cut: float
+) -> jnp.ndarray:
+    """Trimmed mean over a dynamic lane selection (in-program variant).
+
+    Unlike :func:`trimmed_mean`, the number of selected lanes is a traced
+    value (masked batch execution can't slice statically): deselected lanes
+    sort to +inf and a rank-range mask replaces the slice. Used by the fused
+    pipeline's mean-trend fallback. Parity: scipy.stats.trim_mean as used by
+    reference pydeseq2/dds.py:1292.
+    """
+    G = values.shape[0]
+    sorted_vals = jnp.sort(jnp.where(sel, values, jnp.inf))
+    n_sel = sel.sum()
+    ntrim = jnp.floor(n_sel * cut).astype(jnp.int32)
+    idx = jnp.arange(G)
+    in_range = (idx >= ntrim) & (idx < n_sel - ntrim)
+    safe = jnp.where(jnp.isinf(sorted_vals), 0.0, sorted_vals)
+    return jnp.where(in_range, safe, 0.0).sum() / jnp.maximum(in_range.sum(), 1)
+
+
 def trimmed_variance(x: jnp.ndarray, trim: float = 0.125, axis: int = 0) -> jnp.ndarray:
     """Trimmed variance with the 1.51 trimming-bias scale factor.
 
