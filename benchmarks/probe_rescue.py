@@ -76,7 +76,7 @@ def main():
         jax.jit,
         static_argnames=(
             "min_mu", "min_disp", "max_disp", "beta_tol", "trend_type",
-            "trend_rounds", "alt_hypothesis", "use_pallas", "mu_init",
+            "trend_rounds", "alt_hypothesis", "mu_init",
         ),
     )(
         lambda *a, **k: {

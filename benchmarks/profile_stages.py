@@ -1,8 +1,7 @@
 """Per-stage TPU timing of the fused pipeline's component kernels.
 
 Times each batched kernel separately (steady-state, host-readback barrier)
-so optimization targets the real hot spot. Also A/Bs the Pallas dispersion
-scan vs the XLA lax.scan path.
+so optimization targets the real hot spot.
 
 Usage: python benchmarks/profile_stages.py  (BENCH_SAMPLES/BENCH_GENES knobs)
 """
@@ -81,19 +80,12 @@ def main():
         jnp.minimum(fit_rough_dispersions_batch(normed, X),
                     fit_moments_dispersions_batch(normed, sf))))))
     rows.append(("lin_mu_init", timeit(lambda: rd(fit_lin_mu_batch(counts, sf, X, 0.5)))))
-    for up in (False, True):
-        label = "pallas" if up else "xla"
-        try:
-            rows.append((f"alpha_mle_genewise[{label}]", timeit(lambda: rd(
-                alpha_mle_batch(counts, X, mu_hat, mom, 1e-8, max_disp,
-                                cr_reg=True, prior_reg=False, use_pallas=up)[0]))))
-            rows.append((f"alpha_mle_map[{label}]", timeit(lambda: rd(
-                alpha_mle_batch(counts, X, mu_hat, mom, 1e-8, max_disp,
-                                prior_disp_var=0.5, cr_reg=True, prior_reg=True,
-                                use_pallas=up)[0]))))
-        except Exception as e:  # pallas unsupported off-TPU
-            rows.append((f"alpha_mle[{label}] FAILED", float("nan")))
-            print(e, file=sys.stderr)
+    rows.append(("alpha_mle_genewise", timeit(lambda: rd(
+        alpha_mle_batch(counts, X, mu_hat, mom, 1e-8, max_disp,
+                        cr_reg=True, prior_reg=False)[0]))))
+    rows.append(("alpha_mle_map", timeit(lambda: rd(
+        alpha_mle_batch(counts, X, mu_hat, mom, 1e-8, max_disp,
+                        prior_disp_var=0.5, cr_reg=True, prior_reg=True)[0]))))
 
     disp, _ = alpha_mle_batch(counts, X, mu_hat, mom, 1e-8, max_disp)
     beta_init = irls_beta_init(counts, sf, X)
@@ -114,16 +106,9 @@ def main():
         wald_test_batch(X, disp, beta, mu, ridge, contrast,
                         jnp.asarray(0.0, dtype), None)[0]))))
 
-    for up in (False, True):
-        label = "pallas" if up else "xla"
-        try:
-            rows.append((f"FULL wald_pipeline[{label}]", timeit(lambda: rd(
-                wald_pipeline(counts, X, contrast, jnp.asarray(0.0, dtype),
-                              max_disp=max_disp, beta_tol=1e-6,
-                              use_pallas=up)["p_values"]))))
-        except Exception as e:
-            rows.append((f"FULL[{label}] FAILED", float("nan")))
-            print(e, file=sys.stderr)
+    rows.append(("FULL wald_pipeline", timeit(lambda: rd(
+        wald_pipeline(counts, X, contrast, jnp.asarray(0.0, dtype),
+                      max_disp=max_disp, beta_tol=1e-6)["p_values"]))))
 
     print(f"# device={jax.devices()[0]} G={G} N={N} P={P}")
     for name, t in rows:

@@ -68,21 +68,41 @@ def _irls_with_rescue(
     matching the staged backend's full cascade.
 
     Returns (beta, converged).
+
+    Cost note: the rescue tiers run on a COMPACTED lane block, not at full
+    gene width. Flagged lanes are gathered (argsort, flagged-first) into a
+    (K, N) tile with K = max(256, G/16); the projected-Newton line search
+    evaluates its objective ~780 times, so at full width it would dominate
+    the whole pipeline (measured: ~900 ms of a 1.24 s program at 60k x 100)
+    for a handful of lanes. Lanes beyond the K budget — only reachable when
+    >6% of all genes diverge — keep their last IRLS iterate and report
+    converged=False, exactly like a reference lane whose optimizer failed.
     """
     beta, needs_fb, converged = irls_core(
         counts, size_factors, design_matrix, disp, beta_init,
         min_mu=min_mu, beta_tol=beta_tol,
     )
+    G = counts.shape[0]
+    K = min(G, max(256, G // 16))
+    # Flagged lanes first: argsort of ~needs_fb puts False (= flagged) at
+    # the front; ties keep ascending lane order (argsort is stable).
+    order = jnp.argsort(~needs_fb)
+    idx = order[:K]
+    sel = needs_fb[idx]
 
     def newton_rescue(operands):
         beta, converged = operands
         b_fb, ok = newton_box_nbglm(
-            counts, size_factors, design_matrix, disp, beta_init, min_mu=min_mu
+            counts[idx],
+            size_factors,
+            design_matrix,
+            disp[idx],
+            beta_init[idx],
+            min_mu=min_mu,
         )
-        return (
-            jnp.where(needs_fb[:, None], b_fb, beta),
-            jnp.where(needs_fb, ok, converged),
-        )
+        new_beta = beta.at[idx].set(jnp.where(sel[:, None], b_fb, beta[idx]))
+        new_conv = converged.at[idx].set(jnp.where(sel, ok, converged[idx]))
+        return new_beta, new_conv
 
     beta, converged = jax.lax.cond(
         needs_fb.any(), newton_rescue, lambda ops: ops, (beta, converged)
@@ -91,18 +111,21 @@ def _irls_with_rescue(
     if design_matrix.shape[1] == 2:
         # Tertiary grid fallback (reference pydeseq2/utils.py:405-412,
         # grid_search.py:145-221): lanes where the Newton rescue still
-        # reports failure take the 2-D grid optimum.
+        # reports failure take the 2-D grid optimum. still_bad lanes are a
+        # subset of the flagged lanes, so the same compacted index covers
+        # them.
         still_bad = needs_fb & ~converged
+        sel_grid = still_bad[idx]
 
         def grid_rescue(operands):
             beta, converged = operands
             b_grid = grid_fit_beta_batch(
-                counts, size_factors, design_matrix, disp, min_mu=min_mu
+                counts[idx], size_factors, design_matrix, disp[idx], min_mu=min_mu
             )
-            return (
-                jnp.where(still_bad[:, None], b_grid, beta),
-                converged,
+            new_beta = beta.at[idx].set(
+                jnp.where(sel_grid[:, None], b_grid, beta[idx])
             )
+            return new_beta, converged
 
         beta, converged = jax.lax.cond(
             still_bad.any(), grid_rescue, lambda ops: ops, (beta, converged)
@@ -217,7 +240,6 @@ def _wald_impl(
     trend_type: str = "parametric",
     trend_rounds: int = 8,
     alt_hypothesis: str | None = None,
-    use_pallas: bool = False,
     mu_init: str = "linear",
 ):
     """One-program DESeq2 Wald pipeline on a gene-major counts tile.
@@ -285,16 +307,9 @@ def _wald_impl(
         mu_hat = sf[None, :] * jnp.exp(beta_mom @ X.T)
     else:
         mu_hat = fit_lin_mu_batch(counts, sf, X, min_mu)
-    if use_pallas:
-        genewise, _ = alpha_mle_batch(
-            counts, X, mu_hat, mom, min_disp, max_disp,
-            cr_reg=True, prior_reg=False, use_pallas=True,
-        )
-        coarse_cache = None
-    else:
-        genewise, _, coarse_cache = alpha_mle_batch(
-            counts, X, mu_hat, mom, min_disp, max_disp,
-            cr_reg=True, prior_reg=False, return_coarse=True,
+    genewise, _, coarse_cache = alpha_mle_batch(
+        counts, X, mu_hat, mom, min_disp, max_disp,
+        cr_reg=True, prior_reg=False, return_coarse=True,
         )
     genewise = jnp.clip(genewise, min_disp, max_disp)
     genewise_m = jnp.where(non_zero, genewise, jnp.nan)
@@ -330,7 +345,6 @@ def _wald_impl(
         prior_disp_var=prior_disp_var,
         cr_reg=True,
         prior_reg=True,
-        use_pallas=use_pallas,
         coarse_cache=coarse_cache,
     )
     map_disp = jnp.clip(map_disp, min_disp, max_disp)
@@ -386,7 +400,6 @@ def _wald_impl(
         "trend_type",
         "trend_rounds",
         "alt_hypothesis",
-        "use_pallas",
         "mu_init",
     ),
 )
@@ -403,7 +416,6 @@ def wald_pipeline(
     trend_type: str = "parametric",
     trend_rounds: int = 8,
     alt_hypothesis: str | None = None,
-    use_pallas: bool = False,
     mu_init: str = "linear",
 ):
     """See :func:`_wald_impl` (this is its jitted public wrapper)."""
@@ -420,7 +432,6 @@ def wald_pipeline(
         trend_type=trend_type,
         trend_rounds=trend_rounds,
         alt_hypothesis=alt_hypothesis,
-        use_pallas=use_pallas,
         mu_init=mu_init,
     )
     out.pop("_normed")
@@ -443,7 +454,6 @@ def wald_pipeline(
         "trend_type",
         "trend_rounds",
         "alt_hypothesis",
-        "use_pallas",
         "mu_init",
     ),
 )
@@ -467,7 +477,6 @@ def summary_pipeline(
     trend_type: str = "parametric",
     trend_rounds: int = 8,
     alt_hypothesis: str | None = None,
-    use_pallas: bool = False,
     mu_init: str = "linear",
 ):
     """Counts -> padj as ONE jit program: the full DESeq2 analysis.
@@ -528,7 +537,6 @@ def summary_pipeline(
         trend_type=trend_type,
         trend_rounds=trend_rounds,
         alt_hypothesis=alt_hypothesis,
-        use_pallas=use_pallas,
         mu_init=mu_init,
     )
     normed = out.pop("_normed")
@@ -668,7 +676,6 @@ def summary_host_inputs(design_matrix) -> dict:
         "max_disp",
         "trend_type",
         "trend_rounds",
-        "use_pallas",
     ),
 )
 def vst_pipeline(
@@ -679,7 +686,6 @@ def vst_pipeline(
     max_disp: float = 10.0,
     trend_type: str = "parametric",
     trend_rounds: int = 8,
-    use_pallas: bool = False,
 ):
     """One-program blind variance-stabilizing transform on a (G, N) tile.
 
@@ -712,7 +718,6 @@ def vst_pipeline(
     mu_hat = fit_lin_mu_batch(counts, sf, X, min_mu)
     genewise, _ = alpha_mle_batch(
         counts, X, mu_hat, mom, min_disp, max_disp, cr_reg=True, prior_reg=False,
-        use_pallas=use_pallas,
     )
     genewise = jnp.clip(genewise, min_disp, max_disp)
     genewise_m = jnp.where(non_zero, genewise, jnp.nan)

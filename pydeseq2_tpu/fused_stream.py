@@ -151,8 +151,8 @@ def summary_pipeline_streamed(
 ):
     """Counts -> padj with O(gene_block x N) peak temporaries.
 
-    Same arguments and semantics as :func:`fused.summary_pipeline` (minus the
-    Pallas knob), plus ``gene_block`` — G must be a multiple of it (pad with
+    Same arguments and semantics as :func:`fused.summary_pipeline`, plus
+    ``gene_block`` — G must be a multiple of it (pad with
     ``gene_mask=False`` lanes; :func:`run_summary_streamed` does this).
     ``stats_layer=False`` skips Cook's flagging and padj (the
     :func:`fused.wald_pipeline` surface).

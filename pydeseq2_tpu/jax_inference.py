@@ -63,32 +63,12 @@ class JaxInference(Inference):
         dtype=None,
         gene_batch_size: int | None = None,
         mesh: "jax.sharding.Mesh | None" = None,
-        use_pallas: bool | None = None,
     ):
         if dtype is None:
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self.dtype = dtype
         self.gene_batch_size = gene_batch_size
         self.mesh = mesh
-        # None = auto: Pallas dispersion scan on TPU/f32/P<=3 (single-device).
-        self.use_pallas = use_pallas
-
-    def _resolve_pallas(self, design_matrix) -> bool:
-        if self.use_pallas is not None:
-            return self.use_pallas
-        if self.mesh is not None:
-            return False
-        import os
-
-        # Opt-in only: since the XLA scan gained the static branch split and
-        # hoisted-constant objective, it outperforms the Pallas kernel
-        # (155 ms vs 186 ms full-pipeline at 100x60k on v5e); the kernel is
-        # kept for HBM-bound regimes (large N) where VMEM residency wins.
-        if not os.environ.get("PYDESEQ2_TPU_PALLAS"):
-            return False
-        from pydeseq2_tpu.ops.pallas_kernels import pallas_alpha_supported
-
-        return pallas_alpha_supported(design_matrix, self.dtype)
 
     # ------------------------------------------------------------------ utils
     def _device_put_gene_major(self, arr: jnp.ndarray) -> jnp.ndarray:
@@ -292,7 +272,6 @@ class JaxInference(Inference):
                 prior_disp_var=prior_disp_var,
                 cr_reg=cr_reg,
                 prior_reg=prior_reg,
-                use_pallas=self._resolve_pallas(np.asarray(design_matrix)),
             )
             n_real = stop - start
             alpha_out[start:stop] = np.asarray(alpha)[:n_real]

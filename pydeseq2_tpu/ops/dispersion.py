@@ -67,7 +67,6 @@ def _alpha_objective(
         "grid_length",
         "fine_length",
         "newton_iters",
-        "use_pallas",
         "return_coarse",
     ),
 )
@@ -84,7 +83,6 @@ def alpha_mle_batch(
     grid_length: int = 48,
     fine_length: int = 8,
     newton_iters: int = 4,
-    use_pallas: bool = False,
     return_coarse: bool = False,
     coarse_cache: jnp.ndarray | None = None,
 ):
@@ -136,147 +134,114 @@ def alpha_mle_batch(
     # start; 8 points matches the 32-point scan to <1e-7 relative on the
     # golden fixtures while cutting the second-biggest block of objective
     # evaluations in the dispersion stage.
-    # Spacing of the fine scan that actually runs: the XLA fine pass uses
-    # fine_length points, the Pallas scan re-uses K=grid_length points over
-    # the same +/- step1 window.
-    fine_points = grid_length if use_pallas else fine_length
-    step2_f = 2.0 * step1_f / (fine_points - 1)
+    step2_f = 2.0 * step1_f / (fine_length - 1)
 
     coarse_vals = None
-    if use_pallas:
-        assert coarse_cache is None and not return_coarse
-        from pydeseq2_tpu.ops.pallas_kernels import alpha_grid_scan
 
-        center0 = jnp.full((G,), (lo_f + hi_f) / 2.0, dtype)
-        scan = lambda center, hw: alpha_grid_scan(
-            counts,
-            mu,
-            center,
-            la_hat,
-            design_matrix,
-            K=grid_length,
-            halfwidth=hw,
-            lo=lo_f,
-            hi=hi_f,
-            cr_reg=cr_reg,
-            prior_reg=prior_reg,
-            prior_disp_var=pdv,
+    def scan_grid(center, halfwidth, length):
+        """Evaluate obj on per-lane grids center +/- halfwidth, argmin."""
+        step = 2.0 * halfwidth / (length - 1)
+
+        def body(carry, k):
+            best_f, best_la = carry
+            la = jnp.clip(center - halfwidth + k * step, lo, hi)
+            f = obj(la)
+            better = f < best_f
+            return (
+                (
+                    jnp.where(better, f, best_f),
+                    jnp.where(better, la, best_la),
+                ),
+                None,
+            )
+
+        init = (
+            jnp.full((G,), jnp.inf, dtype=dtype),
+            jnp.broadcast_to(center, (G,)) * 1.0,
         )
-        f1, la1 = scan(center0, hw0_f)
-        f2, la2 = scan(la1, step1_f)
-    else:
+        (best_f, best_la), _ = jax.lax.scan(
+            body, init, jnp.arange(length, dtype=dtype)
+        )
+        return best_f, best_la
 
-        def scan_grid(center, halfwidth, length):
-            """Evaluate obj on per-lane grids center +/- halfwidth, argmin."""
-            step = 2.0 * halfwidth / (length - 1)
+    def scan_coarse():
+        """Coarse scan over the static grid la_k = lo + k*step1.
 
+        Every lane shares the same log-alpha at each step, so the
+        nb_nll_centered branch (stable for r = e^{-la} >= 8, i.e.
+        la <= -log 8; plain otherwise) is known STATICALLY per step -
+        each step evaluates a single branch instead of both, halving
+        the transcendental work of the scan. Per-step values are also
+        emitted so callers can cache them (see ``return_coarse``).
+        """
+        la_threshold = -math.log(_R_SWITCH)
+        k_split = int(math.floor((la_threshold - lo_f) / step1_f)) + 1
+        k_split = max(0, min(grid_length, k_split))
+
+        def make_body(branch):
             def body(carry, k):
                 best_f, best_la = carry
-                la = jnp.clip(center - halfwidth + k * step, lo, hi)
-                f = obj(la)
+                la = jnp.full((G,), lo + k * jnp.asarray(step1_f, dtype), dtype)
+                f = obj(la, branch=branch)
                 better = f < best_f
                 return (
                     (
                         jnp.where(better, f, best_f),
                         jnp.where(better, la, best_la),
                     ),
-                    None,
+                    f,
                 )
 
-            init = (
-                jnp.full((G,), jnp.inf, dtype=dtype),
-                jnp.broadcast_to(center, (G,)) * 1.0,
+            return body
+
+        carry = (
+            jnp.full((G,), jnp.inf, dtype=dtype),
+            jnp.full((G,), (lo_f + hi_f) / 2.0, dtype=dtype),
+        )
+        ys = []
+        if k_split > 0:
+            carry, y = jax.lax.scan(
+                make_body("stable"), carry, jnp.arange(k_split, dtype=dtype)
             )
-            (best_f, best_la), _ = jax.lax.scan(
-                body, init, jnp.arange(length, dtype=dtype)
+            ys.append(y)
+        if k_split < grid_length:
+            carry, y = jax.lax.scan(
+                make_body("plain"),
+                carry,
+                jnp.arange(k_split, grid_length, dtype=dtype),
             )
-            return best_f, best_la
+            ys.append(y)
+        return carry, jnp.concatenate(ys, axis=0)  # (K, G)
 
-        def scan_coarse():
-            """Coarse scan over the static grid la_k = lo + k*step1.
-
-            Every lane shares the same log-alpha at each step, so the
-            nb_nll_centered branch (stable for r = e^{-la} >= 8, i.e.
-            la <= -log 8; plain otherwise) is known STATICALLY per step -
-            each step evaluates a single branch instead of both, halving
-            the transcendental work of the scan. Per-step values are also
-            emitted so callers can cache them (see ``return_coarse``).
-            """
-            la_threshold = -math.log(_R_SWITCH)
-            k_split = int(math.floor((la_threshold - lo_f) / step1_f)) + 1
-            k_split = max(0, min(grid_length, k_split))
-
-            def make_body(branch):
-                def body(carry, k):
-                    best_f, best_la = carry
-                    la = jnp.full((G,), lo + k * jnp.asarray(step1_f, dtype), dtype)
-                    f = obj(la, branch=branch)
-                    better = f < best_f
-                    return (
-                        (
-                            jnp.where(better, f, best_f),
-                            jnp.where(better, la, best_la),
-                        ),
-                        f,
-                    )
-
-                return body
-
-            carry = (
-                jnp.full((G,), jnp.inf, dtype=dtype),
-                jnp.full((G,), (lo_f + hi_f) / 2.0, dtype=dtype),
+    if coarse_cache is not None:
+        # The base objective at the static grid points was already
+        # computed by an earlier call on the same counts/mu; the only
+        # objective difference is the additive per-lane prior, so the
+        # coarse argmin is a pure elementwise pass over (K, G).
+        la_grid = lo + jnp.arange(grid_length, dtype=dtype) * jnp.asarray(
+            step1_f, dtype
+        )
+        f_all = coarse_cache
+        if prior_reg:
+            f_all = f_all + (la_grid[:, None] - la_hat[None, :]) ** 2 / (
+                2.0 * pdv
             )
-            ys = []
-            if k_split > 0:
-                carry, y = jax.lax.scan(
-                    make_body("stable"), carry, jnp.arange(k_split, dtype=dtype)
-                )
-                ys.append(y)
-            if k_split < grid_length:
-                carry, y = jax.lax.scan(
-                    make_body("plain"),
-                    carry,
-                    jnp.arange(k_split, grid_length, dtype=dtype),
-                )
-                ys.append(y)
-            return carry, jnp.concatenate(ys, axis=0)  # (K, G)
-
-        if coarse_cache is not None:
-            # The base objective at the static grid points was already
-            # computed by an earlier call on the same counts/mu; the only
-            # objective difference is the additive per-lane prior, so the
-            # coarse argmin is a pure elementwise pass over (K, G).
-            la_grid = lo + jnp.arange(grid_length, dtype=dtype) * jnp.asarray(
-                step1_f, dtype
-            )
-            f_all = coarse_cache
+        la1 = la_grid[jnp.argmin(f_all, axis=0)]
+    else:
+        (f1, la1), coarse_emitted = scan_coarse()
+        if return_coarse:
             if prior_reg:
-                f_all = f_all + (la_grid[:, None] - la_hat[None, :]) ** 2 / (
-                    2.0 * pdv
-                )
-            la1 = la_grid[jnp.argmin(f_all, axis=0)]
-        else:
-            (f1, la1), coarse_emitted = scan_coarse()
-            if return_coarse:
-                if prior_reg:
-                    # Strip the prior so the cache holds the shared BASE.
-                    la_grid = lo + jnp.arange(
-                        grid_length, dtype=dtype
-                    ) * jnp.asarray(step1_f, dtype)
-                    coarse_vals = coarse_emitted - (
-                        la_grid[:, None] - la_hat[None, :]
-                    ) ** 2 / (2.0 * pdv)
-                else:
-                    coarse_vals = coarse_emitted
-        f2, la2 = scan_grid(la1, step1_f, fine_length)
+                # Strip the prior so the cache holds the shared BASE.
+                la_grid = lo + jnp.arange(
+                    grid_length, dtype=dtype
+                ) * jnp.asarray(step1_f, dtype)
+                coarse_vals = coarse_emitted - (
+                    la_grid[:, None] - la_hat[None, :]
+                ) ** 2 / (2.0 * pdv)
+            else:
+                coarse_vals = coarse_emitted
+    f2, la2 = scan_grid(la1, step1_f, fine_length)
     step2 = jnp.asarray(step2_f, dtype)  # fine-grid spacing bounds the polish step
-    if use_pallas:
-        # Re-evaluate the scan winner with THIS objective so the Newton
-        # polish compares like with like (the Pallas scan's lgamma
-        # approximation can differ from XLA's by O(1) absolute on
-        # large-count genes). The XLA fine scan already evaluated exactly
-        # this objective, so its best_f is reused as-is.
-        f2 = obj(la2)
 
     # 3) Newton polish with step clipping + objective safeguard
     sum_obj = lambda la: obj(la).sum()

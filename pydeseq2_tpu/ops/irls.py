@@ -32,7 +32,14 @@ def _weighted_gram(X: jnp.ndarray, W: jnp.ndarray) -> jnp.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("min_mu", "beta_tol", "max_beta", "maxiter", "step_tol"),
+    static_argnames=(
+        "min_mu",
+        "beta_tol",
+        "max_beta",
+        "maxiter",
+        "step_tol",
+        "polish_iters",
+    ),
 )
 def irls_core(
     counts: jnp.ndarray,
@@ -45,6 +52,7 @@ def irls_core(
     max_beta: float = 30.0,
     maxiter: int = 250,
     step_tol: float | None = None,
+    polish_iters: int = 2,
 ):
     """Masked-lane batched IRLS.
 
@@ -182,6 +190,47 @@ def irls_core(
     # Lanes still active after the loop ran out hit maxiter.
     needs_fb = needs_fb | active
     converged = ~needs_fb
+
+    if step_tol > 0.0 and polish_iters > 0:
+        # f32 refinement: the IRLS stop leaves iterates ~step_tol away from
+        # the ridged-NLL optimum (the IRLS fixed point solves nll +
+        # 0.5e-6||b||^2 exactly); exact-Newton steps contract that toward the
+        # f32 gradient noise floor. Near the fixed point objective
+        # comparisons sit below the f32 noise floor, so acceptance is gated
+        # on (a) LOCALITY — a step is kept only if small (<= 100x step_tol;
+        # a genuinely converged lane proposes ~step_tol), finite, and inside
+        # the divergence box — and (b) a final per-lane GRADIENT-NORM check:
+        # the polished point replaces the IRLS iterate only where it
+        # strictly reduces the ridged-NLL gradient sup-norm, so the polish
+        # can only move lanes toward the optimum (measured on the fixtures:
+        # max |log2FC| error vs the f64/R solution drops ~100x; lanes at the
+        # noise floor keep their IRLS iterate).
+        inv_disp = 1.0 / disp
+        ridge_diag = jnp.asarray(1e-6, dtype)
+        polish_cap = 100.0 * step_tol
+
+        def ridged_grad(b):
+            mu = jnp.maximum(size_factors[None, :] * jnp.exp(b @ X.T), min_mu)
+            t = (inv_disp[:, None] + counts) * mu / (inv_disp[:, None] + mu)
+            return (t - counts) @ X + ridge_diag * b, mu
+
+        def polish_body(i, b):
+            g, mu = ridged_grad(b)
+            w = mu * (1.0 + disp[:, None] * counts) / (1.0 + disp[:, None] * mu) ** 2
+            H = _weighted_gram(X, w) + ridge
+            cand = b - sym_solve(H, g)
+            ok = (
+                jnp.isfinite(cand).all(axis=1)
+                & (jnp.abs(cand) <= max_beta).all(axis=1)
+                & (jnp.abs(cand - b).max(axis=1) <= polish_cap)
+            )
+            return jnp.where(ok[:, None], cand, b)
+
+        polished = jax.lax.fori_loop(0, polish_iters, polish_body, beta)
+        g_new = jnp.abs(ridged_grad(polished)[0]).max(axis=1)
+        g_old = jnp.abs(ridged_grad(beta)[0]).max(axis=1)
+        beta = jnp.where((g_new < g_old)[:, None], polished, beta)
+
     return beta, needs_fb, converged
 
 
@@ -229,6 +278,11 @@ def newton_box_nbglm(
     + 0.5*1e-6*||b||^2, bounds [-30, 30]^P. Newton direction from the exact
     NB Hessian, backtracking line search, projection onto the box.
 
+    The line search only ever COMPARES objective values at fixed (counts,
+    disp), so the mu-independent lgamma bulk of the NLL cancels exactly and
+    is dropped from the loop (the same hoisting as ``irls_core``) — the
+    backtracking objective is sum (y+r) log1p(mu/r) - y log mu + ridge.
+
     Returns (beta, success) with success = projected-gradient sup-norm < 1e-5.
     """
     X = design_matrix
@@ -238,10 +292,21 @@ def newton_box_nbglm(
     ridge_diag = jnp.asarray(1e-6, dtype)
 
     inv_disp = 1.0 / disp  # (G,)
+    r = inv_disp[:, None]
+    y_plus_r = counts + r
+    log_sf = jnp.log(size_factors)[None, :]
+    log_min_mu = jnp.log(jnp.asarray(min_mu, dtype))
 
     def objective(beta):
-        mu = jnp.maximum(size_factors[None, :] * jnp.exp(beta @ X.T), min_mu)
-        return nb_nll(counts, mu, disp) + 0.5 * ridge_diag * (beta**2).sum(-1)
+        xb = beta @ X.T
+        raw = size_factors[None, :] * jnp.exp(xb)
+        clamped = raw < min_mu
+        mu = jnp.where(clamped, min_mu, raw)
+        log_mu = jnp.where(clamped, log_min_mu, xb + log_sf)
+        ylogmu = jnp.where(counts > 0, counts * log_mu, 0.0)
+        return (y_plus_r * jnp.log1p(mu / r) - ylogmu).sum(-1) + (
+            0.5 * ridge_diag * (beta**2).sum(-1)
+        )
 
     def grad_fn(beta):
         # Parity: reference pydeseq2/utils.py:381-387.

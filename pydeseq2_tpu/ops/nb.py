@@ -107,7 +107,7 @@ def nb_nll_centered(
 
     every term of which is O(y^2/r) and f32-exact in the absolute sense.
     The argmin over alpha is unchanged, so this is the objective used by the
-    dispersion solvers (XLA and Pallas paths).
+    dispersion solvers.
 
     ``branch`` selects which form to evaluate: ``"auto"`` computes both and
     selects per element (general case); ``"plain"``/``"stable"`` evaluate a

@@ -140,8 +140,72 @@ def test_f32_irls_step_tol_stops_stalled_lanes():
     beta, needs_fb, conv = irls_core(cnt, sf, Xd, disp, bi, min_mu=0.5, beta_tol=1e-6)
     assert not bool(np.asarray(needs_fb).any())
 
-    # Betas match the no-step-tol run to iterate noise.
+    # Betas match the no-step-tol run to iterate noise plus the bounded
+    # post-loop Newton polish (capped at 100x step_tol per step).
     beta0, _, _ = irls_core(
         cnt, sf, Xd, disp, bi, min_mu=0.5, beta_tol=1e-6, step_tol=0.0
     )
-    assert np.abs(np.asarray(beta) - np.asarray(beta0)).max() < 1e-4
+    assert np.abs(np.asarray(beta) - np.asarray(beta0)).max() < 3e-3
+
+    # The polished solution stays within the f32 gradient-resolution bound
+    # of the f64 optimum. (Per lane the polish converges to the root of the
+    # f32-evaluated gradient; for large-count lanes that root sits up to
+    # ~1e-4 in log-units from the f64 root — a dtype limit, not a solver
+    # property. On the small-count golden fixtures the same polish lands
+    # ~1e-7 from the R solution; tests/test_pipeline.py pins those.)
+    cnt64 = jnp.asarray(counts, jnp.float64)
+    X64 = jnp.asarray(X, jnp.float64)
+    beta64, _, _ = irls_core(
+        cnt64,
+        sf.astype(jnp.float64),
+        X64,
+        disp.astype(jnp.float64),
+        bi.astype(jnp.float64),
+        min_mu=0.5,
+        beta_tol=1e-8,
+        step_tol=0.0,
+    )
+    err_polished = np.abs(np.asarray(beta) - np.asarray(beta64)).max()
+    assert err_polished < 1e-3
+
+
+def test_f32_golden_scheme_single_factor():
+    """The f32 staged pipeline passes the reference tolerance scheme vs R.
+
+    This is the criterion the on-device conformance artifact reports
+    (benchmarks/tpu_conformance.py): rel. err < 2% on log2FoldChange /
+    pvalue / padj with identical NaN masks, in float32 with the f32 stopping
+    rules. The LFC bar is only reachable because of the gradient-guarded
+    post-IRLS Newton polish (ops/irls.py): without it the near-zero-LFC gene
+    carries ~3e-5 absolute log2 error, 2.2% relative.
+    """
+    import pandas as pd
+
+    from conftest import data_path
+    from pydeseq2_tpu import DeseqDataSet, DeseqStats
+    from pydeseq2_tpu.utils import load_example_data
+
+    counts_df = load_example_data("raw_counts")
+    metadata = load_example_data("metadata")
+    r_res = pd.read_csv(data_path("single_factor", "r_test_res.csv"), index_col=0)
+
+    import jax
+
+    with jax.enable_x64(False):
+        dds = DeseqDataSet(
+            counts=counts_df,
+            metadata=metadata,
+            design="~condition",
+            beta_tol=1e-6,
+            quiet=True,
+        )
+        dds.deseq2()
+        ds = DeseqStats(dds, contrast=["condition", "B", "A"], quiet=True)
+        ds.summary()
+
+    res = ds.results_df
+    assert (res.pvalue.isna() == r_res.pvalue.isna()).all()
+    assert (res.padj.isna() == r_res.padj.isna()).all()
+    for col in ("log2FoldChange", "pvalue", "padj"):
+        rel = (abs(r_res[col] - res[col]) / abs(r_res[col])).max()
+        assert rel < 0.02, (col, rel)
