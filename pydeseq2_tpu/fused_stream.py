@@ -49,9 +49,9 @@ from pydeseq2_tpu.ops import stats as stats_ops
 from pydeseq2_tpu.ops.dispersion import alpha_mle_batch
 from pydeseq2_tpu.ops.irls import hat_diagonals, irls_beta_init
 from pydeseq2_tpu.ops.linreg import (
-    fit_lin_mu_batch,
     fit_moments_dispersions_batch,
     fit_rough_dispersions_batch,
+    ols_pinv,
 )
 from pydeseq2_tpu.ops.wald import wald_test_batch
 
@@ -184,24 +184,15 @@ def summary_pipeline_streamed(
 
     sf = _streamed_size_factors(counts, gene_mask, logmeans, sample_block)
 
-    def mu_hat_block(c):
-        if mu_init == "irls":
-            # MoM dispersions are recomputed here so pass 2 can rebuild
-            # mu_hat without a stored (G, N) tile.
-            normed = c / sf[None, :]
-            mom = jnp.clip(
-                jnp.minimum(
-                    fit_rough_dispersions_batch(normed, X),
-                    fit_moments_dispersions_batch(normed, sf),
-                ),
-                min_disp,
-                max_disp,
-            )
-            beta_mom, _ = _irls_with_rescue(
-                c, sf, X, mom, irls_beta_init(c, sf, X),
-                min_mu=min_mu, beta_tol=beta_tol,
-            )
-            return sf[None, :] * jnp.exp(beta_mom @ X.T), mom
+    # The dispersion-stage mu init is fully described by a per-gene (P,)
+    # coefficient vector in both modes, so pass 1 emits the coefficients
+    # (G x P floats - tiny) and pass 2 rebuilds mu from them instead of
+    # re-running the init solve (an OLS for "linear", a full IRLS fit with
+    # rescue for "irls" - at atlas scale the latter doubles the IRLS work).
+    X_pinv_T = ols_pinv(X).T  # (P, N) -> transposed once, hoisted
+
+    def mu_init_block(c):
+        """-> (mu_hat, mom, beta_coef) for one (block, N) counts tile."""
         normed = c / sf[None, :]
         mom = jnp.clip(
             jnp.minimum(
@@ -211,21 +202,36 @@ def summary_pipeline_streamed(
             min_disp,
             max_disp,
         )
-        return fit_lin_mu_batch(c, sf, X, min_mu), mom
+        if mu_init == "irls":
+            beta_coef, _ = _irls_with_rescue(
+                c, sf, X, mom, irls_beta_init(c, sf, X),
+                min_mu=min_mu, beta_tol=beta_tol,
+            )
+        else:
+            beta_coef = normed @ X_pinv_T
+        return mu_from_coef(beta_coef), mom, beta_coef
+
+    def mu_from_coef(beta_coef):
+        xb = beta_coef @ X.T
+        if mu_init == "irls":
+            # UNthresholded mu, matching irls_solver's return
+            # (reference pydeseq2/utils.py:427-437).
+            return sf[None, :] * jnp.exp(xb)
+        return jnp.maximum(sf[None, :] * xb, min_mu)
 
     # --- streamed pass 1: genewise dispersion MLE ---------------------------
     # Emits per-gene scalars plus the coarse-grid objective cache (K per
     # gene) that lets the MAP fit in pass 2 skip its coarse scan.
     def genewise_block(c):
         base_mean = (c / sf[None, :]).mean(axis=1)
-        mu_hat, mom = mu_hat_block(c)
+        mu_hat, mom, beta_coef = mu_init_block(c)
         gw, _, coarse = alpha_mle_batch(
             c, X, mu_hat, mom, min_disp, max_disp,
             cr_reg=True, prior_reg=False, return_coarse=True,
         )
-        return base_mean, jnp.clip(gw, min_disp, max_disp), coarse
+        return base_mean, jnp.clip(gw, min_disp, max_disp), coarse, beta_coef
 
-    base_mean, genewise, coarse = jax.lax.map(genewise_block, cblocks)
+    base_mean, genewise, coarse, mu_coef = jax.lax.map(genewise_block, cblocks)
     base_mean = base_mean.reshape(G)
     genewise_m = jnp.where(non_zero, genewise.reshape(G), jnp.nan)
 
@@ -254,9 +260,9 @@ def summary_pipeline_streamed(
     ufm = jnp.asarray(np.asarray(use_for_max), dtype=bool)
 
     def analyse_block(args):
-        c, m, gw_m, fit_m, cache = args
+        c, m, gw_m, fit_m, cache, beta_coef = args
         nz = (c > 0).any(axis=1) & m
-        mu_hat, _ = mu_hat_block(c)
+        mu_hat = mu_from_coef(beta_coef)
         map_disp, _ = alpha_mle_batch(
             c, X, mu_hat, jnp.nan_to_num(fit_m, nan=0.5), min_disp, max_disp,
             prior_disp_var=prior_disp_var, cr_reg=True, prior_reg=True,
@@ -321,6 +327,7 @@ def summary_pipeline_streamed(
             genewise_m.reshape(n_blocks, gene_block),
             fitted_m.reshape(n_blocks, gene_block),
             coarse,
+            mu_coef,
         ),
     )
     flat = {k: v.reshape((G,) + v.shape[2:]) for k, v in blocks.items()}
