@@ -61,13 +61,9 @@ def make_data_chunked(n_samples: int, n_genes: int, seed: int = 0, chunk: int = 
     return counts, X
 
 
-def pick_block(n_samples: int) -> int:
-    """Gene block sized so a block tile stays ~100-700 MB of f32 temporaries."""
-    if n_samples <= 200:
-        return 15_000
-    if n_samples <= 1_000:
-        return 7_500
-    return 2_000
+def pick_block(n_samples: int) -> int | None:
+    """None = the pipeline's memory-budget auto-pick (whole axis at small N)."""
+    return None
 
 
 def main() -> None:
@@ -96,7 +92,8 @@ def main() -> None:
     for cfg in configs:
         cfg = cfg.strip()
         n_samples, n_genes = (int(v) for v in cfg.split("x"))
-        block = int(os.environ.get("SCALE_BLOCK", pick_block(n_samples)))
+        env_block = os.environ.get("SCALE_BLOCK")
+        block = int(env_block) if env_block else pick_block(n_samples)
         reps = int(os.environ.get("SCALE_REPS", 2 if n_samples <= 1000 else 1))
 
         print(f"== {cfg} (gene_block={block}) ==", file=sys.stderr, flush=True)
@@ -135,7 +132,7 @@ def main() -> None:
             "genes_per_s": round(n_genes / best, 1),
             "compile_plus_first_run_s": round(compile_s, 1),
             "data_gen_s": round(gen_s, 1),
-            "gene_block": block,
+            "gene_block": int(out["gene_block"]),
             "reps": reps,
             "pvalue_finite_frac": round(finite_frac, 5),
             "padj_finite_frac": round(padj_finite, 5),

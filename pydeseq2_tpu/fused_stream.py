@@ -362,7 +362,7 @@ def run_summary_streamed(
     design_matrix,
     contrast,
     lfc_null: float = 0.0,
-    gene_block: int = 8192,
+    gene_block: int | None = None,
     dtype=np.float32,
     **knobs,
 ) -> dict:
@@ -374,10 +374,24 @@ def run_summary_streamed(
     design_matrix : (N, P) ndarray or DataFrame (cohorts are derived from it).
     contrast : (P,) vector.
     lfc_null : natural-log null LFC.
+    gene_block : genes per streamed tile. None (default) = auto: the largest
+        block whose ~20 live (block, N) temporaries fit a ~4 GB budget —
+        which is the WHOLE gene axis for N <= ~1k samples (streaming in more
+        blocks than memory requires only adds sequential small-kernel
+        latency; measured 9x slower at 4 blocks of 100-sample tiles).
     knobs : forwarded to :func:`summary_pipeline_streamed`.
     """
     counts = np.asarray(counts, dtype=dtype)
     G, N = counts.shape
+    if gene_block is None:
+        budget_bytes = 4_000_000_000
+        raw = int(max(1024, min(G, budget_bytes // (80 * N))))
+        # Even split: ceil(G/raw) blocks of near-equal size, so padding never
+        # exceeds one block's rounding (a naive cap of 50k on 60k genes would
+        # pad 40k dead lanes).
+        n_blocks = -(-G // raw)
+        gene_block = -(-G // n_blocks)
+        gene_block = ((gene_block + 7) // 8) * 8  # tile-friendly
     host = summary_host_inputs(design_matrix)
     design = np.asarray(
         design_matrix.values if hasattr(design_matrix, "values") else design_matrix,
@@ -411,8 +425,10 @@ def run_summary_streamed(
         use_for_max=host["use_for_max"],
         **knobs,
     )
-    return {
+    res = {
         k: np.asarray(v)[:G] if np.ndim(v) >= 1 and v.shape[0] == padded_G
         else np.asarray(v)
         for k, v in out.items()
     }
+    res["gene_block"] = gene_block
+    return res
