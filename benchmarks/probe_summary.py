@@ -90,7 +90,11 @@ def main():
                               max_disp=float(max(10, N)), beta_tol=1e-6,
                               mu_init=host["mu_init"])
     pv, bm = out["p_values"], out["base_mean"]
-    rows.append(("device_padj (indep. filtering)", timeit(lambda: rd(
+    # NOTE: device_padj is not a jitted entry point, so this row measures
+    # EAGER per-op dispatch (dozens of tunnel round-trips on a remote
+    # backend: 732 ms standalone vs <70 ms of actual compute inside the
+    # jitted summary program). Keep for the dispatch-latency datum.
+    rows.append(("device_padj (EAGER dispatch)", timeit(lambda: rd(
         fused.device_padj(pv, bm, mask, 0.05, True)))))
     logmeans = jnp.log(counts).mean(axis=1)
     rows.append(("streamed size factors (full sort)", timeit(lambda: rd(

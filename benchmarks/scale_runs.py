@@ -102,25 +102,76 @@ def main() -> None:
         gen_s = time.perf_counter() - t0
         contrast = np.array([0.0, 1.0], np.float32)
 
-        def run():
-            out = run_summary_streamed(
-                counts,
-                X,
-                contrast,
-                gene_block=block,
-                max_disp=float(max(10, n_samples)),
-                beta_tol=1e-6,
-            )
-            return out
+        # Time with a SINGLE scalar readback depending on every stage
+        # (bench.py's convention): on a remote-dispatch backend, reading all
+        # ~17 output arrays back one by one costs ~50 ms of tunnel latency
+        # EACH — measured 0.8 s of pure readback on a 0.18 s program.
+        import jax.numpy as jnp
 
+        from pydeseq2_tpu.fused import summary_host_inputs
+        from pydeseq2_tpu.fused_stream import summary_pipeline_streamed
+
+        host = summary_host_inputs(X)
+
+        def make_timed():
+            """Device-resident inputs + a timed call with ONE readback."""
+            padded_G = -(-n_genes // block_resolved) * block_resolved
+            c = counts
+            if padded_G != n_genes:
+                c = np.pad(counts, ((0, padded_G - n_genes), (0, 0)))
+            c_dev = jnp.asarray(c)
+            x_dev = jnp.asarray(X.astype(np.float32))
+            cv_dev = jnp.asarray(contrast)
+            null_dev = jnp.asarray(0.0, jnp.float32)
+            cut_dev = jnp.asarray(host["cooks_cutoff"], jnp.float32)
+            mask_dev = jnp.asarray(np.arange(padded_G) < n_genes)
+
+            def run_timed():
+                out_d = summary_pipeline_streamed(
+                    c_dev,
+                    x_dev,
+                    cv_dev,
+                    null_dev,
+                    cut_dev,
+                    mask_dev,
+                    gene_block=block_resolved,
+                    sample_block=sample_block,
+                    cohort_ids=host["cohort_ids"],
+                    use_for_max=host["use_for_max"],
+                    mu_init=host["mu_init"],
+                    max_disp=float(max(10, n_samples)),
+                    beta_tol=1e-6,
+                )
+                return float(jnp.nansum(out_d["padj"]) + jnp.nansum(out_d["lfc"]))
+
+            return run_timed
+
+        # Full host wrapper once: resolves auto blocks + materializes outputs
+        # for the sanity stats (not timed).
         t0 = time.perf_counter()
-        out = run()  # compile + first execution (+ host readback inside)
+        out = run_summary_streamed(
+            counts,
+            X,
+            contrast,
+            gene_block=block,
+            max_disp=float(max(10, n_samples)),
+            beta_tol=1e-6,
+        )
         compile_s = time.perf_counter() - t0
+        block_resolved = int(out["gene_block"])
+        sample_block = None
+        if counts.size * 4 > 1_000_000_000:
+            divisors = [
+                d for d in range(1, min(n_samples, 1024) + 1) if n_samples % d == 0
+            ]
+            sample_block = divisors[-1] if divisors[-1] > 1 else None
 
+        run_timed = make_timed()
+        run_timed()  # warm the timed call path
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            out = run()
+            run_timed()
             times.append(time.perf_counter() - t0)
         best = min(times)
 
@@ -130,6 +181,8 @@ def main() -> None:
         entry = {
             "wall_s": round(best, 3),
             "genes_per_s": round(n_genes / best, 1),
+            "timing": "steady-state: counts device-resident (one-time upload "
+            "and compile excluded), one scalar readback as the barrier",
             "compile_plus_first_run_s": round(compile_s, 1),
             "data_gen_s": round(gen_s, 1),
             "gene_block": int(out["gene_block"]),
