@@ -71,19 +71,21 @@ def _irls_with_rescue(
 
     Cost note: the rescue tiers run on a COMPACTED lane block, not at full
     gene width. Flagged lanes are gathered (argsort, flagged-first) into a
-    (K, N) tile with K = max(256, G/16); the projected-Newton line search
+    (K, N) tile with K = max(512, G/64); the projected-Newton line search
     evaluates its objective ~780 times, so at full width it would dominate
-    the whole pipeline (measured: ~900 ms of a 1.24 s program at 60k x 100)
-    for a handful of lanes. Lanes beyond the K budget — only reachable when
-    >6% of all genes diverge — keep their last IRLS iterate and report
-    converged=False, exactly like a reference lane whose optimizer failed.
+    the whole pipeline (measured: ~900 ms of a 1.24 s program at 60k x 100,
+    and still 31 ms at K = G/16) for what is typically a handful of lanes.
+    Lanes beyond the K budget — only reachable when >1.5% of all genes
+    diverge — keep their last IRLS iterate and report converged=False,
+    exactly like a reference lane whose optimizer failed (the staged
+    backend's host-gathered rescue has no such cap if that regime matters).
     """
     beta, needs_fb, converged = irls_core(
         counts, size_factors, design_matrix, disp, beta_init,
         min_mu=min_mu, beta_tol=beta_tol,
     )
     G = counts.shape[0]
-    K = min(G, max(256, G // 16))
+    K = min(G, max(512, G // 64))
     # Flagged lanes first: argsort of ~needs_fb puts False (= flagged) at
     # the front; ties keep ascending lane order (argsort is stable).
     order = jnp.argsort(~needs_fb)
