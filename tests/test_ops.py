@@ -90,3 +90,52 @@ def test_mad():
 
     expected = np.median(np.abs(x - np.median(x))) / norm.ppf(0.75)
     np.testing.assert_allclose(got, expected, rtol=1e-12)
+
+
+def test_fused_rescue_compaction_scatter():
+    """The in-program rescue gathers flagged lanes and scatters back cleanly.
+
+    The fused rescue runs on an argsort-compacted (K, N) lane block; this
+    pins the two properties the compaction must preserve on a lane that
+    exercises the FULL cascade (a perfectly-separated gene whose NLL optimum
+    lies outside the |beta| <= 30 box, so IRLS diverges, the Newton box
+    solver reports failure, and the P == 2 grid tier fires): (a) the flagged
+    lane ends up with exactly the direct single-lane grid solution, and
+    (b) every unflagged lane's coefficients are bit-identical to the plain
+    irls_core result (the scatter touches nothing else).
+    """
+    from pydeseq2_tpu.fused import _irls_with_rescue
+    from pydeseq2_tpu.ops.irls import grid_fit_beta_batch, irls_beta_init, irls_core
+
+    rng = np.random.default_rng(0)
+    N, G = 8, 8
+    X = jnp.asarray(
+        np.column_stack([np.ones(N), [0, 0, 0, 0, 1, 1, 1, 1]]).astype(float)
+    )
+    sf = jnp.ones(N, jnp.float64)
+    counts = rng.poisson(50, (G, N)).astype(float)
+    counts[3, :4] = 0.0
+    counts[3, 4:] = 2e15  # true LFC ~ log(4e15) > 30: diverges in IRLS
+    counts = jnp.asarray(counts)
+    disp = jnp.full(G, 0.1, jnp.float64)
+    bi = irls_beta_init(counts, sf, X)
+
+    beta_plain, needs_fb, _ = irls_core(counts, sf, X, disp, bi)
+    assert bool(needs_fb[3]) and int(needs_fb.sum()) == 1
+
+    beta, converged = _irls_with_rescue(
+        counts, sf, X, disp, bi, min_mu=0.5, beta_tol=1e-8
+    )
+    # The Newton tier must have reported failure for this lane (its box has
+    # no interior optimum), handing it to the grid tier:
+    assert not bool(converged[3])
+    # (a) flagged lane == the direct single-lane grid solve
+    b_grid = grid_fit_beta_batch(counts[3:4], sf, X, disp[3:4], min_mu=0.5)
+    np.testing.assert_allclose(
+        np.asarray(beta)[3], np.asarray(b_grid)[0], rtol=1e-12
+    )
+    # (b) unflagged lanes untouched by the scatter
+    keep = ~np.asarray(needs_fb)
+    np.testing.assert_array_equal(
+        np.asarray(beta)[keep], np.asarray(beta_plain)[keep]
+    )
