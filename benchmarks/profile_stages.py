@@ -106,6 +106,16 @@ def main():
         wald_test_batch(X, disp, beta, mu, ridge, contrast,
                         jnp.asarray(0.0, dtype), None)[0]))))
 
+    # apeGLM shrinkage kernel (the lfc_shrink hot loop) at full gene width.
+    from pydeseq2_tpu.fused import vst_pipeline
+    from pydeseq2_tpu.ops.shrink import nbinom_glm_batch
+
+    offset = jnp.log(sf)  # (N,) log normalization, replicated over genes
+    size = 1.0 / disp
+    rows.append(("apeglm_shrink (nbinomGLM)", timeit(lambda: rd(
+        nbinom_glm_batch(X, counts, size, offset, 15.0, 1.0)[0]))))
+    rows.append(("FULL vst_pipeline (blind)", timeit(lambda: rd(
+        vst_pipeline(counts, max_disp=max_disp)["vst_counts"]))))
     rows.append(("FULL wald_pipeline", timeit(lambda: rd(
         wald_pipeline(counts, X, contrast, jnp.asarray(0.0, dtype),
                       max_disp=max_disp, beta_tol=1e-6)["p_values"]))))
