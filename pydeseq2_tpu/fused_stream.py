@@ -383,6 +383,16 @@ def run_summary_streamed(
     """
     counts = np.asarray(counts, dtype=dtype)
     G, N = counts.shape
+    # Median-of-ratios needs at least one all-positive gene; on zero-inflated
+    # data the reference switches to iterative (MLE) size factors
+    # (pydeseq2/dds.py:682-690), which is a staged-path feature. Fail loudly
+    # here instead of streaming NaN medians through the whole analysis.
+    if not (counts > 0).all(axis=1).any():
+        raise ValueError(
+            "Every gene contains at least one zero: median-of-ratios size "
+            "factors are undefined. Use DeseqDataSet (staged pipeline), "
+            "which falls back to iterative size factors for such data."
+        )
     if gene_block is None:
         budget_bytes = 4_000_000_000
         raw = int(max(1024, min(G, budget_bytes // (80 * N))))

@@ -167,3 +167,21 @@ def test_streamed_sample_blocked_size_factors(counts_df, metadata):
     np.testing.assert_allclose(
         blocked["padj"], base["padj"], rtol=1e-12, equal_nan=True
     )
+
+
+def test_streamed_rejects_zero_inflated_counts():
+    """Zero-inflated data (a zero in every gene) fails loudly, not with NaNs.
+
+    The reference switches ratio -> iterative size factors in this regime
+    (pydeseq2/dds.py:682-690); the iterative MLE is a staged-path feature,
+    so the streamed wrapper must direct users there instead of streaming
+    undefined medians through the analysis.
+    """
+    import pytest
+
+    rng = np.random.default_rng(0)
+    counts = rng.poisson(2.0, (20, 12)).astype(float)
+    counts[:, 0] = 0.0  # one zero per gene
+    X = np.column_stack([np.ones(12), rng.integers(0, 2, 12)]).astype(float)
+    with pytest.raises(ValueError, match="iterative"):
+        run_summary_streamed(counts, X, [0.0, 1.0])
