@@ -132,6 +132,7 @@ def summary_pipeline_streamed(
     lfc_null: jnp.ndarray,
     cooks_cutoff: jnp.ndarray,
     gene_mask: jnp.ndarray | None = None,
+    size_factors: jnp.ndarray | None = None,
     *,
     gene_block: int = 8192,
     sample_block: int | None = None,
@@ -155,7 +156,11 @@ def summary_pipeline_streamed(
     ``gene_block`` — G must be a multiple of it (pad with
     ``gene_mask=False`` lanes; :func:`run_summary_streamed` does this).
     ``stats_layer=False`` skips Cook's flagging and padj (the
-    :func:`fused.wald_pipeline` surface).
+    :func:`fused.wald_pipeline` surface). ``size_factors`` (N,) overrides
+    the in-program median-of-ratios computation — inject poscounts or
+    iterative size factors from the staged layer to run zero-rich data
+    through the streamed path (reference normalization modes:
+    pydeseq2/dds.py:584-711).
     """
     G, N = counts.shape
     P = design_matrix.shape[1]
@@ -182,7 +187,10 @@ def summary_pipeline_streamed(
     logmeans = logmeans.reshape(G)
     non_zero = non_zero.reshape(G)
 
-    sf = _streamed_size_factors(counts, gene_mask, logmeans, sample_block)
+    if size_factors is None:
+        sf = _streamed_size_factors(counts, gene_mask, logmeans, sample_block)
+    else:
+        sf = jnp.asarray(size_factors, dtype)
 
     # The dispersion-stage mu init is fully described by a per-gene (P,)
     # coefficient vector in both modes, so pass 1 emits the coefficients
@@ -386,12 +394,16 @@ def run_summary_streamed(
     # Median-of-ratios needs at least one all-positive gene; on zero-inflated
     # data the reference switches to iterative (MLE) size factors
     # (pydeseq2/dds.py:682-690), which is a staged-path feature. Fail loudly
-    # here instead of streaming NaN medians through the whole analysis.
-    if not (counts > 0).all(axis=1).any():
+    # here instead of streaming NaN medians through the whole analysis —
+    # unless the caller injects externally computed size factors (poscounts /
+    # iterative from the staged layer) via ``size_factors=``.
+    if knobs.get("size_factors") is None and not (counts > 0).all(axis=1).any():
         raise ValueError(
             "Every gene contains at least one zero: median-of-ratios size "
-            "factors are undefined. Use DeseqDataSet (staged pipeline), "
-            "which falls back to iterative size factors for such data."
+            "factors are undefined. Either use DeseqDataSet (staged "
+            "pipeline), which falls back to iterative size factors, or pass "
+            "size_factors= computed by fit_size_factors('poscounts' / "
+            "'iterative')."
         )
     if gene_block is None:
         budget_bytes = 4_000_000_000

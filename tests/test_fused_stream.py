@@ -185,3 +185,39 @@ def test_streamed_rejects_zero_inflated_counts():
     X = np.column_stack([np.ones(12), rng.integers(0, 2, 12)]).astype(float)
     with pytest.raises(ValueError, match="iterative"):
         run_summary_streamed(counts, X, [0.0, 1.0])
+
+
+def test_streamed_injected_size_factors(counts_df, metadata):
+    """size_factors= overrides the in-program median-of-ratios computation.
+
+    Injecting the staged layer's poscounts size factors must reproduce a
+    staged poscounts analysis through the streamed path (the route for
+    zero-rich data at scale).
+    """
+    dds = DeseqDataSet(
+        counts=counts_df,
+        metadata=metadata,
+        design="~condition",
+        size_factors_fit_type="poscounts",
+        refit_cooks=False,
+        quiet=True,
+    )
+    dds.deseq2()
+    ds = DeseqStats(dds, contrast=["condition", "B", "A"], quiet=True)
+    ds.summary()
+
+    out = run_summary_streamed(
+        counts_df.values.T,
+        dds.obsm["design_matrix"],
+        [0.0, 1.0],
+        gene_block=4,
+        dtype=np.float64,
+        size_factors=dds.obs["size_factors"].values,
+        max_disp=float(max(10, counts_df.shape[0])),
+    )
+    np.testing.assert_allclose(
+        out["size_factors"], dds.obs["size_factors"].values, rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        out["p_values"], ds.p_values.values, rtol=5e-3, equal_nan=True
+    )
