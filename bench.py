@@ -148,6 +148,13 @@ def _stage_split(counts, X, contrast, n_samples, dtype) -> None:
     max_disp = float(max(10, n_samples))
     beta_tol = 1e-8 if dtype == jnp.float64 else 1e-6
 
+    print(
+        "# stage split: standalone-program timings with per-program dispatch; "
+        "stages intentionally sum to MORE than the fused wall (the fused "
+        "program dedups shared work and fuses across stage boundaries)",
+        file=sys.stderr,
+    )
+
     def timed(label, fn):
         fn()  # compile
         t0 = time.perf_counter()

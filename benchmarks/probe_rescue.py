@@ -67,7 +67,7 @@ def main():
         beta, needs_fb, convd = irls_ops.irls_core(
             counts, sf, X, disp, beta_init, min_mu=min_mu, beta_tol=beta_tol
         )
-        return beta, convd
+        return beta, convd, jnp.asarray(0, jnp.int32)
 
     fused._irls_with_rescue = no_rescue
     import functools

@@ -67,7 +67,12 @@ def _irls_with_rescue(
     the vectorized 2-D grid search on lanes where Newton also failed —
     matching the staged backend's full cascade.
 
-    Returns (beta, converged).
+    Returns (beta, converged, overflow) where ``overflow`` is the number of
+    flagged lanes beyond the compaction budget K (see below) that therefore
+    never entered the rescue tiers — 0 in normal operation. Callers surface
+    it (the pipelines return it as ``rescue_overflow``; the streamed host
+    wrapper warns when it is non-zero) so users are not left inferring a
+    hit cap from converged flags.
 
     Cost note: the rescue tiers run on a COMPACTED lane block, not at full
     gene width. Flagged lanes are gathered (argsort, flagged-first) into a
@@ -86,6 +91,7 @@ def _irls_with_rescue(
     )
     G = counts.shape[0]
     K = min(G, max(512, G // 64))
+    overflow = jnp.maximum(needs_fb.sum() - K, 0)
     # Flagged lanes first: argsort of ~needs_fb puts False (= flagged) at
     # the front; ties keep ascending lane order (argsort is stable).
     order = jnp.argsort(~needs_fb)
@@ -132,7 +138,7 @@ def _irls_with_rescue(
         beta, converged = jax.lax.cond(
             still_bad.any(), grid_rescue, lambda ops: ops, (beta, converged)
         )
-    return beta, converged
+    return beta, converged, overflow
 
 
 def fit_fused_trend(
@@ -300,7 +306,7 @@ def _wald_impl(
     # prior is an additive per-lane quadratic), so its coarse scan reuses the
     # cache instead of re-evaluating the NB likelihood at all grid points.
     if mu_init == "irls":
-        beta_mom, _ = _irls_with_rescue(
+        beta_mom, _, mu_overflow = _irls_with_rescue(
             counts, sf, X, mom, irls_beta_init(counts, sf, X),
             min_mu=min_mu, beta_tol=beta_tol,
         )
@@ -308,6 +314,7 @@ def _wald_impl(
         # (reference pydeseq2/utils.py:427-437).
         mu_hat = sf[None, :] * jnp.exp(beta_mom @ X.T)
     else:
+        mu_overflow = jnp.asarray(0, jnp.int32)
         mu_hat = fit_lin_mu_batch(counts, sf, X, min_mu)
     genewise, _, coarse_cache = alpha_mle_batch(
         counts, X, mu_hat, mom, min_disp, max_disp,
@@ -358,7 +365,7 @@ def _wald_impl(
     # --- LFC via IRLS -----------------------------------------------------
     disp_safe = jnp.nan_to_num(dispersions, nan=0.5)
     beta_init = irls_beta_init(counts, sf, X)
-    beta, converged = _irls_with_rescue(
+    beta, converged, lfc_overflow = _irls_with_rescue(
         counts, sf, X, disp_safe, beta_init, min_mu=min_mu, beta_tol=beta_tol
     )
     H, mu = hat_diagonals(counts, sf, X, disp_safe, beta, min_mu=min_mu)
@@ -387,6 +394,9 @@ def _wald_impl(
         "statistics": nanm(stats),
         "se": nanm(se),
         "irls_converged": converged,
+        # Lanes that needed the rescue cascade but fell beyond its compacted
+        # K-lane budget (0 in normal operation; see _irls_with_rescue).
+        "rescue_overflow": mu_overflow + lfc_overflow,
         "_normed": normed,
         "_non_zero": non_zero,
     }

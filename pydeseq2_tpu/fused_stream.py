@@ -33,6 +33,7 @@ refit_cooks=False) + pydeseq2/ds.py:223-301 (summary), like
 from __future__ import annotations
 
 import math
+import warnings
 from functools import partial
 
 import jax
@@ -74,8 +75,11 @@ def _streamed_size_factors(
     — but at the 10k-sample atlas scale the ratio matrix + sort scratch is
     several extra full-size (G, N) buffers (~10 GB) and crashes a 16 GB
     chip; ``sample_block`` streams column blocks through one lax.map'd sort
-    so peak extra memory is O(G x sample_block). N must be a multiple of
-    ``sample_block`` (the host wrapper picks a divisor).
+    so peak extra memory is O(G x sample_block). ``sample_block`` need not
+    divide N: the final block's slice start is clamped to N - sample_block,
+    so it overlaps the previous block and recomputes a few columns (the
+    overlapping writes carry identical values — each column's median only
+    depends on that column).
     """
     filtered = ~jnp.isinf(logmeans) & gene_mask
     m = filtered.sum()
@@ -92,17 +96,18 @@ def _streamed_size_factors(
     G, N = counts.shape
     if sample_block is None or sample_block >= N:
         return jnp.exp(med_of_cols(counts))
-    assert N % sample_block == 0, "sample_block must divide N"
-    nb = N // sample_block
-    # Slice column blocks in-loop (a moveaxis/reshape would materialize a
-    # transposed full-size copy of counts — the buffer this path avoids).
-    med = jax.lax.map(
-        lambda i: med_of_cols(
-            jax.lax.dynamic_slice(counts, (0, i * sample_block), (G, sample_block))
-        ),
-        jnp.arange(nb),
-    )  # (nb, sb)
-    return jnp.exp(med.reshape(N))
+    nb = -(-N // sample_block)
+    starts = jnp.minimum(jnp.arange(nb) * sample_block, N - sample_block)
+
+    def block_med(carry, s):
+        # Slice column blocks in-loop (a moveaxis/reshape would materialize
+        # a transposed full-size copy of counts — the buffer this path
+        # avoids).
+        cols = jax.lax.dynamic_slice(counts, (0, s), (G, sample_block))
+        return jax.lax.dynamic_update_slice(carry, med_of_cols(cols), (s,)), None
+
+    med, _ = jax.lax.scan(block_med, jnp.zeros((N,), counts.dtype), starts)
+    return jnp.exp(med)
 
 
 @partial(
@@ -200,7 +205,7 @@ def summary_pipeline_streamed(
     X_pinv_T = ols_pinv(X).T  # (P, N) -> transposed once, hoisted
 
     def mu_init_block(c):
-        """-> (mu_hat, mom, beta_coef) for one (block, N) counts tile."""
+        """-> (mu_hat, mom, beta_coef, overflow) for one (block, N) tile."""
         normed = c / sf[None, :]
         mom = jnp.clip(
             jnp.minimum(
@@ -211,13 +216,14 @@ def summary_pipeline_streamed(
             max_disp,
         )
         if mu_init == "irls":
-            beta_coef, _ = _irls_with_rescue(
+            beta_coef, _, overflow = _irls_with_rescue(
                 c, sf, X, mom, irls_beta_init(c, sf, X),
                 min_mu=min_mu, beta_tol=beta_tol,
             )
         else:
+            overflow = jnp.asarray(0, jnp.int32)
             beta_coef = normed @ X_pinv_T
-        return mu_from_coef(beta_coef), mom, beta_coef
+        return mu_from_coef(beta_coef), mom, beta_coef, overflow
 
     def mu_from_coef(beta_coef):
         xb = beta_coef @ X.T
@@ -232,14 +238,16 @@ def summary_pipeline_streamed(
     # gene) that lets the MAP fit in pass 2 skip its coarse scan.
     def genewise_block(c):
         base_mean = (c / sf[None, :]).mean(axis=1)
-        mu_hat, mom, beta_coef = mu_init_block(c)
+        mu_hat, mom, beta_coef, overflow = mu_init_block(c)
         gw, _, coarse = alpha_mle_batch(
             c, X, mu_hat, mom, min_disp, max_disp,
             cr_reg=True, prior_reg=False, return_coarse=True,
         )
-        return base_mean, jnp.clip(gw, min_disp, max_disp), coarse, beta_coef
+        return base_mean, jnp.clip(gw, min_disp, max_disp), coarse, beta_coef, overflow
 
-    base_mean, genewise, coarse, mu_coef = jax.lax.map(genewise_block, cblocks)
+    base_mean, genewise, coarse, mu_coef, mu_overflow = jax.lax.map(
+        genewise_block, cblocks
+    )
     base_mean = base_mean.reshape(G)
     genewise_m = jnp.where(non_zero, genewise.reshape(G), jnp.nan)
 
@@ -284,7 +292,7 @@ def summary_pipeline_streamed(
         dispersions = jnp.where(nz, dispersions, jnp.nan)
         disp_safe = jnp.nan_to_num(dispersions, nan=0.5)
 
-        beta, converged = _irls_with_rescue(
+        beta, converged, lfc_overflow = _irls_with_rescue(
             c, sf, X, disp_safe, irls_beta_init(c, sf, X),
             min_mu=min_mu, beta_tol=beta_tol,
         )
@@ -302,6 +310,7 @@ def summary_pipeline_streamed(
             "statistics": jnp.where(nz, st, jnp.nan),
             "se": jnp.where(nz, se, jnp.nan),
             "irls_converged": converged,
+            "_lfc_overflow": lfc_overflow,
         }
         if stats_layer:
             # Cook's distances live only inside the block: the flags and the
@@ -338,9 +347,11 @@ def summary_pipeline_streamed(
             mu_coef,
         ),
     )
+    lfc_overflow_total = blocks.pop("_lfc_overflow").sum()
     flat = {k: v.reshape((G,) + v.shape[2:]) for k, v in blocks.items()}
 
     out = {
+        "rescue_overflow": mu_overflow.sum() + lfc_overflow_total,
         "size_factors": sf,
         "base_mean": base_mean,
         "genewise_dispersions": genewise_m,
@@ -428,13 +439,11 @@ def run_summary_streamed(
     knobs.setdefault("mu_init", host["mu_init"])
     if "sample_block" not in knobs:
         # Sample-block the size-factor medians once the full ratio matrix
-        # would cost more than ~1 GB of extra device memory: largest divisor
-        # of N at or below 1024 (None when N is awkwardly prime - the 1-block
-        # fallback is the monolithic sort).
+        # would cost more than ~1 GB of extra device memory. No divisibility
+        # requirement: the kernel clamps the last block's slice start, so
+        # any block size works (prime N included).
         if G * N * np.dtype(dtype).itemsize > 1_000_000_000:
-            divisors = [d for d in range(1, min(N, 1024) + 1) if N % d == 0]
-            sb = divisors[-1]
-            knobs["sample_block"] = sb if sb > 1 else None
+            knobs["sample_block"] = min(N, 1024)
     out = summary_pipeline_streamed(
         jnp.asarray(counts),
         jnp.asarray(design),
@@ -453,4 +462,13 @@ def run_summary_streamed(
         for k, v in out.items()
     }
     res["gene_block"] = gene_block
+    if int(res.get("rescue_overflow", 0)) > 0:
+        warnings.warn(
+            f"{int(res['rescue_overflow'])} diverged IRLS lanes exceeded the "
+            "compacted rescue budget and kept their last IRLS iterate "
+            "(converged=False). This only happens when >~1.5% of genes "
+            "diverge; the staged DeseqDataSet path rescues without a cap.",
+            UserWarning,
+            stacklevel=2,
+        )
     return res

@@ -123,9 +123,11 @@ def test_fused_rescue_compaction_scatter():
     beta_plain, needs_fb, _ = irls_core(counts, sf, X, disp, bi)
     assert bool(needs_fb[3]) and int(needs_fb.sum()) == 1
 
-    beta, converged = _irls_with_rescue(
+    beta, converged, overflow = _irls_with_rescue(
         counts, sf, X, disp, bi, min_mu=0.5, beta_tol=1e-8
     )
+    # One flagged lane, budget K >= 512: nothing overflows the rescue tile.
+    assert int(overflow) == 0
     # The Newton tier must have reported failure for this lane (its box has
     # no interior optimum), handing it to the grid tier:
     assert not bool(converged[3])
