@@ -639,7 +639,7 @@ def device_padj(
     return jnp.take(adj, j, axis=0)
 
 
-def summary_host_inputs(design_matrix) -> dict:
+def summary_host_inputs(design_matrix, min_replicates: int = 7) -> dict:
     """Host-side static inputs for :func:`summary_pipeline`.
 
     Computes, from the design matrix (pandas DataFrame or ndarray), the
@@ -647,6 +647,8 @@ def summary_host_inputs(design_matrix) -> dict:
     n-p) Cook's cutoff (reference pydeseq2/dds.py:1080), the >= 3-replicate
     sample mask (reference pydeseq2/utils.py:888-911), the cohort ids of
     those samples in first-seen order (reference pydeseq2/utils.py:925-936),
+    the >= ``min_replicates``-replicate ``replaceable`` mask that gates
+    Cook's outlier replacement (reference pydeseq2/dds.py:1310-1320),
     and the dispersion-stage ``mu_init`` mode: "linear" when design rows
     group 1:1 onto columns (pure categorical designs), "irls" otherwise —
     e.g. continuous covariates (reference pydeseq2/dds.py:743-765; using
@@ -676,6 +678,9 @@ def summary_host_inputs(design_matrix) -> dict:
         "cooks_cutoff": float(f.ppf(0.99, p, n - p)),
         "use_for_max": tuple(bool(b) for b in three_or_more),
         "cohort_ids": cohort_ids,
+        "replaceable": tuple(
+            bool(b) for b in n_or_more_replicates(df, min_replicates).to_numpy()
+        ),
         "mu_init": "linear" if len(df.value_counts()) == p else "irls",
     }
 

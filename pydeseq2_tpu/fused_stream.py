@@ -117,6 +117,7 @@ def _streamed_size_factors(
         "sample_block",
         "cohort_ids",
         "use_for_max",
+        "replaceable",
         "alpha",
         "cooks_filter",
         "independent_filter",
@@ -128,6 +129,7 @@ def _streamed_size_factors(
         "alt_hypothesis",
         "mu_init",
         "stats_layer",
+        "refit_mode",
     ),
 )
 def summary_pipeline_streamed(
@@ -143,6 +145,7 @@ def summary_pipeline_streamed(
     sample_block: int | None = None,
     cohort_ids: tuple[int, ...] | None = None,
     use_for_max: tuple[bool, ...] | None = None,
+    replaceable: tuple[bool, ...] | None = None,
     alpha: float = 0.05,
     cooks_filter: bool = True,
     independent_filter: bool = True,
@@ -154,6 +157,7 @@ def summary_pipeline_streamed(
     alt_hypothesis: str | None = None,
     mu_init: str = "linear",
     stats_layer: bool = True,
+    refit_mode: bool = False,
 ):
     """Counts -> padj with O(gene_block x N) peak temporaries.
 
@@ -166,6 +170,18 @@ def summary_pipeline_streamed(
     iterative size factors from the staged layer to run zero-rich data
     through the streamed path (reference normalization modes:
     pydeseq2/dds.py:584-711).
+
+    ``refit_mode=True`` (requires ``replaceable``, the static (N,) mask of
+    samples whose design-row cohort has >= min_replicates members —
+    reference pydeseq2/dds.py:1310-1320) prepares the Cook's-replacement
+    pass instead of finishing the analysis: per-gene ``replaced`` flags
+    (any sample's Cook's distance above the cutoff, reference
+    dds.py:1323-1326), the packed per-cell exceed bits the refit program
+    unpacks to impute counts, and ``cooks_outlier_refit`` (the outlier flag
+    a gene keeps AFTER refitting, i.e. computed on ``replace_cooks`` whose
+    replaceable-sample entries are zeroed — reference dds.py:1455-1458 +
+    1066-1110). p-value masking and padj are deferred to the host wrapper,
+    which merges the refit results first (:func:`run_summary_streamed`).
     """
     G, N = counts.shape
     P = design_matrix.shape[1]
@@ -252,7 +268,7 @@ def summary_pipeline_streamed(
     genewise_m = jnp.where(non_zero, genewise.reshape(G), jnp.nan)
 
     # --- global reductions: trend + prior (O(G) work) -----------------------
-    fitted, trend_coeffs, trend_used_mean, _ = fit_fused_trend(
+    fitted, trend_coeffs, trend_used_mean, mean_disp = fit_fused_trend(
         base_mean, genewise_m, non_zero, min_disp, trend_type
     )
     fitted_m = jnp.where(non_zero, fitted, jnp.nan)
@@ -274,6 +290,11 @@ def summary_pipeline_streamed(
         cohort_sample_idx = np.where(np.asarray(use_for_max))[0]
         cohort_arr = np.asarray(cohort_ids)
     ufm = jnp.asarray(np.asarray(use_for_max), dtype=bool)
+    if refit_mode:
+        assert replaceable is not None, "refit_mode needs the replaceable mask"
+        repl = jnp.asarray(np.asarray(replaceable), dtype=bool)
+        n_words = -(-N // 32)
+        bit_weights = jnp.asarray([1 << k for k in range(32)], jnp.uint32)
 
     def analyse_block(args):
         c, m, gw_m, fit_m, cache, beta_coef = args
@@ -332,8 +353,32 @@ def summary_pipeline_streamed(
             ).any(axis=1)
             pos = jnp.argmax(cooks, axis=1)
             max_count = jnp.take_along_axis(c, pos[:, None], axis=1)
-            flagged = flagged & ((c > max_count).sum(axis=1) < 3)
-            res["cooks_outlier"] = flagged & nz
+            veto = (c > max_count).sum(axis=1) < 3
+            res["cooks_outlier"] = flagged & veto & nz
+            if refit_mode:
+                # Per-cell exceed bits, packed 32/word: the refit program
+                # unpacks them to impute counts (reference
+                # pydeseq2/dds.py:1323-1357) — storing the raw bool (G, N)
+                # layer would be the full-size buffer streaming avoids.
+                exceeds = cooks > cooks_cutoff
+                bits = jnp.pad(exceeds, ((0, 0), (0, n_words * 32 - N)))
+                res["exceeds_packed"] = jnp.sum(
+                    bits.reshape(-1, n_words, 32) * bit_weights[None, None, :],
+                    axis=-1,
+                    dtype=jnp.uint32,
+                )
+                res["replaced"] = exceeds.any(axis=1) & nz
+                # The flag a refitted gene keeps: its replaceable-sample
+                # Cook's entries are zeroed (replace_cooks), so only
+                # non-replaceable well-replicated samples can still exceed
+                # the cutoff (reference dds.py:1455-1458 + 1066-1110). The
+                # count veto stays computed on the pre-replacement
+                # distances and original counts (reference dds.py:1097).
+                flagged_nonrepl = (
+                    jnp.where((ufm & ~repl)[None, :], cooks, -jnp.inf)
+                    > cooks_cutoff
+                ).any(axis=1)
+                res["cooks_outlier_refit"] = flagged_nonrepl & veto & nz
         return res
 
     blocks = jax.lax.map(
@@ -358,12 +403,15 @@ def summary_pipeline_streamed(
         "fitted_dispersions": fitted_m,
         "trend_coeffs": trend_coeffs,
         "trend_used_mean": trend_used_mean,
+        "mean_disp": mean_disp,
         "squared_logres": squared_logres,
         "prior_disp_var": prior_disp_var,
         **flat,
     }
 
-    if stats_layer:
+    if stats_layer and not refit_mode:
+        # With refit_mode the host wrapper merges the refit results first,
+        # then applies outlier masking + padj on the merged arrays.
         p = out["p_values"]
         if cooks_filter:
             p = jnp.where(out["cooks_outlier"], jnp.nan, p)
@@ -376,6 +424,297 @@ def summary_pipeline_streamed(
     return out
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "refit_block",
+        "replaceable",
+        "alt_hypothesis",
+        "min_mu",
+        "min_disp",
+        "max_disp",
+        "beta_tol",
+        "mu_init",
+    ),
+)
+def refit_pipeline_streamed(
+    counts_tile: jnp.ndarray,
+    exceeds_packed: jnp.ndarray,
+    tile_mask: jnp.ndarray,
+    size_factors: jnp.ndarray,
+    design_matrix: jnp.ndarray,
+    contrast: jnp.ndarray,
+    lfc_null: jnp.ndarray,
+    trend_coeffs: jnp.ndarray,
+    trend_used_mean: jnp.ndarray,
+    mean_disp: jnp.ndarray,
+    prior_disp_var: jnp.ndarray,
+    squared_logres: jnp.ndarray,
+    *,
+    refit_block: int = 4096,
+    replaceable: tuple[bool, ...],
+    alt_hypothesis: str | None = None,
+    min_mu: float = 0.5,
+    min_disp: float = 1e-8,
+    max_disp: float = 10.0,
+    beta_tol: float = 1e-8,
+    mu_init: str = "linear",
+):
+    """Impute Cook's outlier counts and refit the flagged genes, streamed.
+
+    The compacted (K, N) tile holds exactly the genes whose ``replaced``
+    flag fired in the main pass (host-gathered, padded to a multiple of
+    ``refit_block`` with ``tile_mask=False`` lanes). Per tile block:
+
+    1. unpack the per-cell exceed bits and impute flagged cells in
+       replaceable samples with trimmed-mean(0.2) baselines rescaled per
+       sample, truncated to integers (reference pydeseq2/dds.py:1331-1357);
+    2. genes that became all-zero are reported, not refitted (reference
+       dds.py:1373-1390);
+    3. re-run genewise dispersion MLE (MoM init + mu init), evaluate the
+       PARENT trend curve at the new normed means, MAP-shrink with the
+       parent prior, IRLS the LFCs, and Wald-test them — the
+       sub-DeseqDataSet pipeline of reference dds.py:1392-1441 with the
+       inherited trend/prior, fused into one jit program.
+
+    Global reductions are all *inputs* here (trend, prior, size factors),
+    so the refit is embarrassingly gene-parallel and shards/streams like
+    the main passes.
+    """
+    K, N = counts_tile.shape
+    P = design_matrix.shape[1]
+    dtype = counts_tile.dtype
+    X = design_matrix
+    sf = size_factors
+    repl = jnp.asarray(np.asarray(replaceable), dtype=bool)
+    assert K % refit_block == 0, "pad the refit tile to a refit_block multiple"
+    n_blocks = K // refit_block
+    n_words = exceeds_packed.shape[1]
+    bit_shifts = jnp.arange(32, dtype=jnp.uint32)
+
+    X_pinv_T = ols_pinv(X).T
+
+    def refit_block_fn(args):
+        c, packed, m = args
+        bits = (packed[:, :, None] >> bit_shifts[None, None, :]) & 1
+        exceeds = bits.reshape(-1, n_words * 32)[:, :N].astype(bool)
+        swap = repl[None, :] & exceeds
+
+        normed = c / sf[None, :]
+        trim02 = stats_ops.trimmed_mean(normed, trim=0.2, axis=1)
+        # .astype(int) truncation of the reference; counts are >= 0 so
+        # floor == trunc (reference pydeseq2/dds.py:1344-1350).
+        imputed = jnp.where(swap, jnp.floor(trim02[:, None] * sf[None, :]), c)
+
+        new_all_zero = (imputed == 0).all(axis=1) & m
+        live = m & ~new_all_zero
+
+        normed2 = imputed / sf[None, :]
+        base_mean2 = normed2.mean(axis=1)
+        mom = jnp.clip(
+            jnp.minimum(
+                fit_rough_dispersions_batch(normed2, X),
+                fit_moments_dispersions_batch(normed2, sf),
+            ),
+            min_disp,
+            max_disp,
+        )
+        if mu_init == "irls":
+            beta_mom, _, of0 = _irls_with_rescue(
+                imputed, sf, X, mom, irls_beta_init(imputed, sf, X),
+                min_mu=min_mu, beta_tol=beta_tol,
+            )
+            mu_hat = sf[None, :] * jnp.exp(beta_mom @ X.T)
+        else:
+            of0 = jnp.asarray(0, jnp.int32)
+            mu_hat = jnp.maximum(sf[None, :] * (normed2 @ X_pinv_T @ X.T), min_mu)
+
+        genewise2, _, coarse = alpha_mle_batch(
+            imputed, X, mu_hat, mom, min_disp, max_disp,
+            cr_reg=True, prior_reg=False, return_coarse=True,
+        )
+        genewise2 = jnp.clip(genewise2, min_disp, max_disp)
+
+        # Parent trend curve evaluated at the NEW normed means (reference
+        # dds.py:1421-1433: the curve is inherited, not refitted).
+        parametric = trend_coeffs[0] + trend_coeffs[1] / base_mean2
+        fitted2 = jnp.where(trend_used_mean, mean_disp, parametric)
+
+        map2, _ = alpha_mle_batch(
+            imputed, X, mu_hat, jnp.nan_to_num(fitted2, nan=0.5),
+            min_disp, max_disp,
+            prior_disp_var=prior_disp_var, cr_reg=True, prior_reg=True,
+            coarse_cache=coarse,
+        )
+        map2 = jnp.clip(map2, min_disp, max_disp)
+        shrink_outlier = jnp.log(genewise2) > jnp.log(fitted2) + 2.0 * jnp.sqrt(
+            squared_logres
+        )
+        dispersions2 = jnp.where(shrink_outlier, genewise2, map2)
+        disp_safe = jnp.nan_to_num(dispersions2, nan=0.5)
+
+        beta2, converged2, of1 = _irls_with_rescue(
+            imputed, sf, X, disp_safe, irls_beta_init(imputed, sf, X),
+            min_mu=min_mu, beta_tol=beta_tol,
+        )
+        _, mu2 = hat_diagonals(imputed, sf, X, disp_safe, beta2, min_mu=min_mu)
+        ridge = 1e-6 * jnp.eye(P, dtype=dtype)
+        pv2, st2, se2 = wald_test_batch(
+            X, disp_safe, beta2, mu2, ridge, contrast, lfc_null, alt_hypothesis
+        )
+
+        nanl = lambda a: jnp.where(live, a, jnp.nan)
+        return {
+            "new_all_zero": new_all_zero,
+            "base_mean": jnp.where(m, base_mean2, jnp.nan),
+            "genewise_dispersions": nanl(genewise2),
+            "fitted_dispersions": nanl(fitted2),
+            "MAP_dispersions": nanl(map2),
+            "dispersions": nanl(dispersions2),
+            "lfc": jnp.where(live[:, None], beta2, jnp.nan),
+            "p_values": nanl(pv2),
+            "statistics": nanl(st2),
+            "se": nanl(se2),
+            "irls_converged": converged2,
+            "_overflow": of0 + of1,
+        }
+
+    blocks = jax.lax.map(
+        refit_block_fn,
+        (
+            counts_tile.reshape(n_blocks, refit_block, N),
+            exceeds_packed.reshape(n_blocks, refit_block, n_words),
+            tile_mask.reshape(n_blocks, refit_block),
+        ),
+    )
+    overflow = blocks.pop("_overflow").sum()
+    out = {k: v.reshape((K,) + v.shape[2:]) for k, v in blocks.items()}
+    out["rescue_overflow"] = overflow
+    return out
+
+
+@partial(jax.jit, static_argnames=("alpha", "independent_filter"))
+def _padj_program(p, base_mean, gene_mask, alpha, independent_filter):
+    """padj on merged post-refit arrays (same math as the in-program tail)."""
+    return jnp.where(
+        gene_mask,
+        device_padj(p, base_mean, gene_mask, alpha, independent_filter),
+        jnp.nan,
+    )
+
+
+def _apply_streamed_refit(
+    res, out, counts_dev, design, contrast, lfc_null, host, knobs,
+    gene_mask, dtype, G,
+):
+    """Gather flagged genes, run the refit program, merge, mask, adjust.
+
+    Mirrors the staged refit()/_refit_without_outliers() + DeseqStats
+    ordering (reference pydeseq2/dds.py:1042-1064 then ds.py:223-301):
+    refit results overwrite the flagged genes, new-all-zero genes get
+    neutral statistics (lfc/se/stat 0, p 1 — reference ds.py:356-360),
+    Cook's masking uses the replace_cooks-based flag for refitted genes,
+    and padj runs on the merged arrays.
+    """
+    replaced = np.array(res["replaced"])
+    n_rep = int(replaced.sum())
+    refitted = np.zeros(G, dtype=bool)
+    new_all_zero_full = np.zeros(G, dtype=bool)
+
+    if n_rep > 0:
+        # Mutated columns become writable copies.
+        for col in (
+            "base_mean", "genewise_dispersions", "fitted_dispersions",
+            "MAP_dispersions", "dispersions", "lfc", "p_values",
+            "statistics", "se", "irls_converged",
+        ):
+            res[col] = np.array(res[col])
+
+        idx = np.where(replaced)[0]
+        # Same ~4 GB temporary budget per block as the main pass; padding
+        # K to a block multiple bounds recompiles to one per K bucket.
+        N = design.shape[0]
+        refit_block = int(min(4096, max(256, 4_000_000_000 // (80 * N))))
+        refit_block = ((refit_block + 7) // 8) * 8
+        K = math.ceil(n_rep / refit_block) * refit_block
+        idx_pad = np.pad(idx, (0, K - n_rep))
+        tile_mask = np.arange(K) < n_rep
+        gather = jnp.asarray(idx_pad)
+
+        r = refit_pipeline_streamed(
+            jnp.take(counts_dev, gather, axis=0),
+            jnp.take(out["exceeds_packed"], gather, axis=0),
+            jnp.asarray(tile_mask),
+            jnp.asarray(np.asarray(res["size_factors"], dtype=dtype)),
+            jnp.asarray(design),
+            jnp.asarray(np.asarray(contrast, dtype=dtype)),
+            jnp.asarray(lfc_null, dtype=dtype),
+            out["trend_coeffs"],
+            out["trend_used_mean"],
+            out["mean_disp"],
+            out["prior_disp_var"],
+            out["squared_logres"],
+            refit_block=refit_block,
+            replaceable=host["replaceable"],
+            alt_hypothesis=knobs.get("alt_hypothesis"),
+            min_mu=knobs.get("min_mu", 0.5),
+            min_disp=knobs.get("min_disp", 1e-8),
+            max_disp=knobs.get("max_disp", 10.0),
+            beta_tol=knobs.get("beta_tol", 1e-8),
+            mu_init=knobs.get("mu_init", "linear"),
+        )
+        rnp = {k: np.asarray(v)[:n_rep] if np.ndim(v) >= 1 else np.asarray(v)
+               for k, v in r.items()}
+
+        naz = rnp["new_all_zero"]
+        live = ~naz
+        refitted[idx[live]] = True
+        new_all_zero_full[idx[naz]] = True
+
+        for col in (
+            "base_mean", "genewise_dispersions", "fitted_dispersions",
+            "MAP_dispersions", "dispersions", "p_values", "statistics", "se",
+        ):
+            res[col][idx[live]] = rnp[col][live]
+        res["lfc"][idx[live]] = rnp["lfc"][live]
+        res["irls_converged"][idx[live]] = rnp["irls_converged"][live]
+
+        # Genes that became all-zero after replacement: zeroed means/LFC
+        # (reference dds.py:1381-1384) and neutral Wald statistics
+        # (reference ds.py:356-360).
+        res["base_mean"][idx[naz]] = 0.0
+        res["lfc"][idx[naz]] = 0.0
+        res["se"][idx[naz]] = 0.0
+        res["statistics"][idx[naz]] = 0.0
+        res["p_values"][idx[naz]] = 1.0
+        res["rescue_overflow"] = res["rescue_overflow"] + rnp["rescue_overflow"]
+
+    res["refitted"] = refitted
+    res["new_all_zeroes"] = new_all_zero_full
+
+    # Refitted genes carry the replace_cooks-based flag (reference
+    # dds.py:1066-1110 with layers["replace_cooks"]); everything else keeps
+    # the pre-replacement flag.
+    outlier = np.where(refitted, res["cooks_outlier_refit"], res["cooks_outlier"])
+    res["cooks_outlier"] = outlier
+    del res["cooks_outlier_refit"]
+
+    p = np.array(res["p_values"])
+    if knobs.get("cooks_filter", True):
+        p[outlier] = np.nan
+        res["p_values"] = p
+    res["padj"] = np.asarray(
+        _padj_program(
+            jnp.asarray(p),
+            jnp.asarray(np.asarray(res["base_mean"], dtype=dtype)),
+            jnp.asarray(np.ones(G, dtype=bool)),
+            knobs.get("alpha", 0.05),
+            knobs.get("independent_filter", True),
+        )
+    )
+    return res
+
+
 def run_summary_streamed(
     counts,
     design_matrix,
@@ -383,6 +722,8 @@ def run_summary_streamed(
     lfc_null: float = 0.0,
     gene_block: int | None = None,
     dtype=np.float32,
+    refit_cooks: bool = False,
+    min_replicates: int = 7,
     **knobs,
 ) -> dict:
     """Host convenience wrapper: pads genes, fills host inputs, unpads.
@@ -398,6 +739,14 @@ def run_summary_streamed(
         which is the WHOLE gene axis for N <= ~1k samples (streaming in more
         blocks than memory requires only adds sequential small-kernel
         latency; measured 9x slower at 4 blocks of 100-sample tiles).
+    refit_cooks : replace Cook's outlier counts and refit the affected genes
+        (the reference's DEFAULT pipeline, pydeseq2/dds.py:221,1042-1064):
+        the main pass runs in ``refit_mode``, the flagged genes are gathered
+        into a compacted tile for :func:`refit_pipeline_streamed`, and
+        outlier masking + padj are applied to the merged results. Adds
+        ``replaced`` / ``refitted`` / ``new_all_zeroes`` outputs.
+    min_replicates : minimum cohort size for a sample to be replaceable
+        (reference default 7).
     knobs : forwarded to :func:`summary_pipeline_streamed`.
     """
     counts = np.asarray(counts, dtype=dtype)
@@ -425,7 +774,7 @@ def run_summary_streamed(
         n_blocks = -(-G // raw)
         gene_block = -(-G // n_blocks)
         gene_block = ((gene_block + 7) // 8) * 8  # tile-friendly
-    host = summary_host_inputs(design_matrix)
+    host = summary_host_inputs(design_matrix, min_replicates)
     design = np.asarray(
         design_matrix.values if hasattr(design_matrix, "values") else design_matrix,
         dtype=dtype,
@@ -444,8 +793,19 @@ def run_summary_streamed(
         # any block size works (prime N included).
         if G * N * np.dtype(dtype).itemsize > 1_000_000_000:
             knobs["sample_block"] = min(N, 1024)
+
+    # Refitting is active only when some cohort can absorb a replacement
+    # (reference pydeseq2/dds.py:1315-1320: no replaceable sample -> no-op).
+    refit_active = refit_cooks and any(host["replaceable"])
+    if refit_active:
+        if not knobs.get("stats_layer", True):
+            raise ValueError("refit_cooks needs the stats layer (Cook's flags)")
+        knobs["refit_mode"] = True
+        knobs["replaceable"] = host["replaceable"]
+
+    counts_dev = jnp.asarray(counts)
     out = summary_pipeline_streamed(
-        jnp.asarray(counts),
+        counts_dev,
         jnp.asarray(design),
         jnp.asarray(np.asarray(contrast, dtype=dtype)),
         jnp.asarray(lfc_null, dtype=dtype),
@@ -461,6 +821,16 @@ def run_summary_streamed(
         else np.asarray(v)
         for k, v in out.items()
     }
+    if refit_active:
+        res = _apply_streamed_refit(
+            res, out, counts_dev, design, contrast, lfc_null, host, knobs,
+            gene_mask, dtype, G,
+        )
+    elif refit_cooks:
+        res["replaced"] = np.zeros(G, dtype=bool)
+        res["refitted"] = np.zeros(G, dtype=bool)
+        res["new_all_zeroes"] = np.zeros(G, dtype=bool)
+    res.pop("exceeds_packed", None)
     res["gene_block"] = gene_block
     if int(res.get("rescue_overflow", 0)) > 0:
         warnings.warn(

@@ -204,7 +204,9 @@ class JaxInference(Inference):
                     c_fb, sf, X, d_fb, b_init_fb,
                     min_mu=min_mu, max_beta=max_beta,
                 )
-                b_fb_np = np.asarray(b_fb)[: len(idx)]
+                # np.array: device exports are read-only views and the grid
+                # tier below writes into this buffer.
+                b_fb_np = np.array(b_fb)[: len(idx)]
                 ok_fb_np = np.asarray(ok_fb)[: len(idx)]
                 if (~ok_fb_np).any() and P <= 2:
                     gidx = idx[~ok_fb_np]

@@ -221,3 +221,158 @@ def test_streamed_injected_size_factors(counts_df, metadata):
     np.testing.assert_allclose(
         out["p_values"], ds.p_values.values, rtol=5e-3, equal_nan=True
     )
+
+
+# ---------------------------------------------------------------- refit_cooks
+def _staged_refit(counts_df, metadata, design, contrast):
+    dds = DeseqDataSet(
+        counts=counts_df, metadata=metadata, design=design,
+        refit_cooks=True, quiet=True,
+    )
+    dds.deseq2()
+    ds = DeseqStats(dds, contrast=contrast, quiet=True)
+    ds.summary()
+    return dds, ds
+
+
+def _assert_refit_matches_staged(stream, dds, ds, contrast_vec):
+    ln2 = np.log(2.0)
+    np.testing.assert_array_equal(stream["replaced"], dds.var["replaced"].values)
+    np.testing.assert_array_equal(stream["refitted"], dds.var["refitted"].values)
+    np.testing.assert_allclose(
+        stream["lfc"] @ np.asarray(contrast_vec, float) / ln2,
+        ds.results_df["log2FoldChange"].values, rtol=1e-5, equal_nan=True,
+    )
+    for key, col in (
+        ("p_values", "pvalue"), ("statistics", "stat"), ("padj", "padj"),
+        ("base_mean", "baseMean"),
+    ):
+        np.testing.assert_allclose(
+            stream[key], ds.results_df[col].values, rtol=1e-5, equal_nan=True,
+            err_msg=key,
+        )
+    np.testing.assert_allclose(
+        stream["se"] / ln2, ds.results_df["lfcSE"].values, rtol=1e-5,
+        equal_nan=True,
+    )
+
+
+def test_streamed_refit_matches_staged(counts_df, metadata):
+    """refit_cooks=True through the streamed path == the staged refit.
+
+    Injected outliers force actual replacement + refitting (reference
+    default pipeline semantics, pydeseq2/dds.py:1042-1064,1301-1458).
+    """
+    counts = counts_df.copy()
+    counts.iloc[0, 0] = 1_000_000
+    counts.iloc[5, 3] = 500_000
+    dds, ds = _staged_refit(counts, metadata, "~condition", ["condition", "B", "A"])
+    assert dds.var["refitted"].sum() > 0  # the scenario must actually refit
+
+    stream = run_summary_streamed(
+        counts.values.T,
+        dds.obsm["design_matrix"],
+        [0.0, 1.0],
+        gene_block=4,
+        dtype=np.float64,
+        refit_cooks=True,
+        max_disp=float(max(10, counts.shape[0])),
+    )
+    _assert_refit_matches_staged(stream, dds, ds, [0.0, 1.0])
+
+
+def test_streamed_refit_new_all_zero(counts_df, metadata):
+    """A gene whose replacement zeroes every count gets neutral statistics.
+
+    Reference semantics: dds.py:1373-1384 (dropped from the refit, means
+    and LFC zeroed) + ds.py:356-360 (se/stat 0, pvalue 1 before masking).
+    """
+    counts = counts_df.copy()
+    counts.iloc[:, 2] = 0
+    counts.iloc[7, 2] = 1_000_000
+    dds, ds = _staged_refit(counts, metadata, "~condition", ["condition", "B", "A"])
+    assert len(dds.new_all_zeroes_genes) == 1
+
+    stream = run_summary_streamed(
+        counts.values.T,
+        dds.obsm["design_matrix"],
+        [0.0, 1.0],
+        gene_block=4,
+        dtype=np.float64,
+        refit_cooks=True,
+        max_disp=float(max(10, counts.shape[0])),
+    )
+    assert int(stream["new_all_zeroes"].sum()) == 1
+    _assert_refit_matches_staged(stream, dds, ds, [0.0, 1.0])
+
+
+def test_streamed_refit_multifactor_golden(counts_df, metadata):
+    """Multifactor outlier R golden (tol 0.04) through the streamed refit.
+
+    The R-checked scenario of reference tests/test_pydeseq2.py:434-509 —
+    this pins the streamed cohort-dependent Cook's flagging and the full
+    replacement/refit flow against R DESeq2 v1.34.0, not just against the
+    staged implementation.
+    """
+    import pandas as pd
+
+    from conftest import data_path
+
+    r_res = pd.read_csv(
+        data_path("multi_factor", "r_test_res_outliers.csv"), index_col=0
+    )
+    counts_df.loc["sample1", "gene1"] = 2000
+    counts_df.loc["sample11", "gene7"] = 1000
+    metadata.loc["sample1", "condition"] = "C"
+
+    dds = DeseqDataSet(
+        counts=counts_df, metadata=metadata, design="~group + condition",
+        quiet=True,
+    )
+    cvec = np.asarray(
+        dds.contrast(column="condition", baseline="A", group_to_compare="B"),
+        float,
+    )
+    stream = run_summary_streamed(
+        counts_df.values.T.astype(float),
+        dds.obsm["design_matrix"],
+        cvec,
+        gene_block=4,
+        dtype=np.float64,
+        refit_cooks=True,
+        max_disp=float(max(10, counts_df.shape[0])),
+    )
+    assert int(stream["refitted"].sum()) > 0
+    l2fc = stream["lfc"] @ cvec / np.log(2.0)
+    for col, got in (
+        ("log2FoldChange", l2fc),
+        ("pvalue", stream["p_values"]),
+        ("padj", stream["padj"]),
+    ):
+        r = r_res[col].values
+        assert np.array_equal(np.isnan(r), np.isnan(got)), col
+        assert np.nanmax(np.abs(r - got) / np.abs(r)) < 0.04, col
+
+
+def test_streamed_refit_no_replaceable_cohort(counts_df, metadata):
+    """No cohort >= min_replicates -> refit is a no-op with empty flags.
+
+    Reference dds.py:1315-1320: when no sample is replaceable the pipeline
+    behaves like refit_cooks=False apart from the bookkeeping columns.
+    """
+    dds, ds = _staged(counts_df, metadata, "~condition", ["condition", "B", "A"])
+    stream = run_summary_streamed(
+        counts_df.values.T,
+        dds.obsm["design_matrix"],
+        [0.0, 1.0],
+        gene_block=4,
+        dtype=np.float64,
+        refit_cooks=True,
+        min_replicates=1_000,  # nothing qualifies
+        max_disp=float(max(10, counts_df.shape[0])),
+    )
+    assert not stream["replaced"].any()
+    assert not stream["refitted"].any()
+    np.testing.assert_allclose(
+        stream["padj"], ds.padj.values, rtol=5e-3, equal_nan=True
+    )
