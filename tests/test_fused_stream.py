@@ -376,3 +376,56 @@ def test_streamed_refit_no_replaceable_cohort(counts_df, metadata):
     np.testing.assert_allclose(
         stream["padj"], ds.padj.values, rtol=5e-3, equal_nan=True
     )
+
+
+# ------------------------------------------------------- streamed shrink + VST
+def test_streamed_vst_matches_fused(counts_df):
+    """Blocked blind VST == the monolithic fused program to roundoff."""
+    import jax.numpy as jnp
+
+    from pydeseq2_tpu.fused import vst_pipeline
+    from pydeseq2_tpu.fused_stream import run_vst_streamed
+
+    cT = counts_df.values.T.astype(float)
+    mono = vst_pipeline(jnp.asarray(cT), max_disp=float(max(10, counts_df.shape[0])))
+    stream = run_vst_streamed(
+        cT, gene_block=4, dtype=np.float64,
+        max_disp=float(max(10, counts_df.shape[0])),
+    )
+    np.testing.assert_allclose(
+        stream["vst_counts"], np.asarray(mono["vst_counts"]), rtol=1e-6,
+        equal_nan=True,
+    )
+    np.testing.assert_allclose(
+        stream["size_factors"], np.asarray(mono["size_factors"]), rtol=1e-12
+    )
+
+
+def test_streamed_lfc_shrink_matches_staged(counts_df, metadata):
+    """Blocked apeGLM shrinkage == DeseqStats.lfc_shrink (same prior fit)."""
+    from pydeseq2_tpu.fused_stream import run_lfc_shrink_streamed
+
+    dds, ds = _staged(counts_df, metadata, "~condition", ["condition", "B", "A"])
+    coeff = "condition[T.B]"
+    ci = int(ds.LFC.columns.get_loc(coeff))
+    mle_lfc = ds.LFC.values[:, ci].copy()
+    mle_se = ds.SE.values.copy()
+    ds.lfc_shrink(coeff)
+
+    out = run_lfc_shrink_streamed(
+        counts_df.values.T.astype(float),
+        dds.obsm["design_matrix"],
+        ci,
+        dds.var["dispersions"].values,
+        dds.obs["size_factors"].values,
+        mle_lfc=mle_lfc,
+        mle_se=mle_se,
+        gene_block=4,
+        dtype=np.float64,
+    )
+    np.testing.assert_allclose(
+        out["lfc"][:, ci], ds.LFC[coeff].values, rtol=1e-4, equal_nan=True
+    )
+    np.testing.assert_allclose(
+        out["se"], ds.SE.values, rtol=1e-4, equal_nan=True
+    )
