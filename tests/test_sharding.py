@@ -188,3 +188,55 @@ def test_fused_pipeline_multifactor_irls_mu_init(counts_df, metadata):
         dds.var["genewise_dispersions"].values,
         rtol=5e-3,
     )
+
+
+def test_streamed_pipeline_sharded(mesh):
+    """The gene-streamed program runs sharded over the mesh == unsharded.
+
+    This is the real pod deployment shape (atlas scale: gene-sharded across
+    devices AND block-streamed within each); only SPMD reduction-order noise
+    (~1e-8 relative) may differ.
+    """
+    from pydeseq2_tpu.fused import summary_host_inputs
+    from pydeseq2_tpu.fused_stream import summary_pipeline_streamed
+
+    counts, sf, X, _ = _make_data(G=64, N=16, seed=4)
+    counts_gm = counts.T
+    counts_gm[0, :] = 0
+    host = summary_host_inputs(X)
+    args = dict(
+        gene_block=8,
+        cohort_ids=host["cohort_ids"],
+        use_for_max=host["use_for_max"],
+        mu_init=host["mu_init"],
+        max_disp=float(max(10, X.shape[0])),
+    )
+
+    gene_sh = NamedSharding(mesh, P("genes", None))
+    repl = NamedSharding(mesh, P())
+    c_sh = jax.device_put(jnp.asarray(counts_gm), gene_sh)
+    out_sh = summary_pipeline_streamed(
+        c_sh,
+        jax.device_put(jnp.asarray(X), repl),
+        jax.device_put(jnp.asarray([0.0, 1.0]), repl),
+        jnp.asarray(0.0),
+        jnp.asarray(host["cooks_cutoff"]),
+        **args,
+    )
+    out = summary_pipeline_streamed(
+        jnp.asarray(counts_gm),
+        jnp.asarray(X),
+        jnp.asarray([0.0, 1.0]),
+        jnp.asarray(0.0),
+        jnp.asarray(host["cooks_cutoff"]),
+        **args,
+    )
+    for key in ("padj", "p_values", "dispersions"):
+        np.testing.assert_allclose(
+            np.asarray(out_sh[key]), np.asarray(out[key]), rtol=1e-5,
+            equal_nan=True, err_msg=key,
+        )
+    np.testing.assert_allclose(
+        np.asarray(out_sh["lfc"]), np.asarray(out["lfc"]), rtol=1e-5,
+        equal_nan=True,
+    )
