@@ -110,6 +110,59 @@ def _streamed_size_factors(
     return jnp.exp(med)
 
 
+def _streamed_poscounts_size_factors(
+    counts: jnp.ndarray,
+    usable: jnp.ndarray,
+    logmeans: jnp.ndarray,
+    sample_block: int | None = None,
+) -> jnp.ndarray:
+    """Poscounts size factors, sample-blocked (zero-rich normalization).
+
+    Unlike the ratio estimator, the per-sample median here is RAGGED: each
+    sample's median runs over the genes that are usable AND positive in
+    that sample (reference pydeseq2/dds.py:668-676). Excluded entries are
+    pushed to +inf, each column is sorted once, and the two middle order
+    statistics are gathered at per-sample valid-count midpoints. Size
+    factors are rescaled to geometric mean 1. Same blocking scheme as
+    :func:`_streamed_size_factors` (clamped final block).
+    """
+    G, N = counts.shape
+
+    def med_of_cols(cols):
+        in_med = usable[:, None] & (cols > 0)
+        ratios = jnp.where(
+            in_med,
+            jnp.log(jnp.where(cols > 0, cols, 1.0)) - logmeans[:, None],
+            jnp.inf,
+        )
+        ranked = jnp.sort(ratios, axis=0)
+        nv = in_med.sum(axis=0)
+        lo = jnp.clip((nv - 1) // 2, 0)
+        hi = nv // 2
+        med = (
+            jnp.take_along_axis(ranked, lo[None, :], axis=0)
+            + jnp.take_along_axis(ranked, hi[None, :], axis=0)
+        )[0] / 2.0
+        return jnp.where(nv > 0, med, jnp.nan)
+
+    if sample_block is None or sample_block >= N:
+        med = med_of_cols(counts)
+    else:
+        nb = -(-N // sample_block)
+        starts = jnp.minimum(jnp.arange(nb) * sample_block, N - sample_block)
+
+        def block_med(carry, s):
+            cols = jax.lax.dynamic_slice(counts, (0, s), (G, sample_block))
+            return (
+                jax.lax.dynamic_update_slice(carry, med_of_cols(cols), (s,)),
+                None,
+            )
+
+        med, _ = jax.lax.scan(block_med, jnp.zeros((N,), counts.dtype), starts)
+    sf = jnp.exp(med)
+    return sf / jnp.exp(jnp.mean(jnp.log(sf)))
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -130,6 +183,7 @@ def _streamed_size_factors(
         "mu_init",
         "stats_layer",
         "refit_mode",
+        "sf_fit_type",
     ),
 )
 def summary_pipeline_streamed(
@@ -158,6 +212,7 @@ def summary_pipeline_streamed(
     mu_init: str = "linear",
     stats_layer: bool = True,
     refit_mode: bool = False,
+    sf_fit_type: str = "ratio",
 ):
     """Counts -> padj with O(gene_block x N) peak temporaries.
 
@@ -200,7 +255,14 @@ def summary_pipeline_streamed(
     # --- cheap full sweep: per-gene log-means + non-zero masks --------------
     def log_stats_block(args):
         c, m = args
-        logmean = jnp.log(c).mean(axis=1)  # -inf when the gene has a zero
+        if sf_fit_type == "poscounts":
+            # log-geometric mean over POSITIVE counts, full-N divisor
+            # (reference pydeseq2/dds.py:659-665).
+            logmean = jnp.where(c > 0, jnp.log(jnp.where(c > 0, c, 1.0)), 0.0).mean(
+                axis=1
+            )
+        else:
+            logmean = jnp.log(c).mean(axis=1)  # -inf when the gene has a zero
         non_zero = (c > 0).any(axis=1) & m
         return logmean, non_zero
 
@@ -208,10 +270,13 @@ def summary_pipeline_streamed(
     logmeans = logmeans.reshape(G)
     non_zero = non_zero.reshape(G)
 
-    if size_factors is None:
-        sf = _streamed_size_factors(counts, gene_mask, logmeans, sample_block)
-    else:
+    if size_factors is not None:
         sf = jnp.asarray(size_factors, dtype)
+    elif sf_fit_type == "poscounts":
+        usable = jnp.isfinite(logmeans) & (logmeans > 0) & gene_mask
+        sf = _streamed_poscounts_size_factors(counts, usable, logmeans, sample_block)
+    else:
+        sf = _streamed_size_factors(counts, gene_mask, logmeans, sample_block)
 
     # The dispersion-stage mu init is fully described by a per-gene (P,)
     # coefficient vector in both modes, so pass 1 emits the coefficients
@@ -753,18 +818,28 @@ def run_summary_streamed(
     G, N = counts.shape
     # Median-of-ratios needs at least one all-positive gene; on zero-inflated
     # data the reference switches to iterative (MLE) size factors
-    # (pydeseq2/dds.py:682-690), which is a staged-path feature. Fail loudly
-    # here instead of streaming NaN medians through the whole analysis —
-    # unless the caller injects externally computed size factors (poscounts /
-    # iterative from the staged layer) via ``size_factors=``.
-    if knobs.get("size_factors") is None and not (counts > 0).all(axis=1).any():
-        raise ValueError(
-            "Every gene contains at least one zero: median-of-ratios size "
-            "factors are undefined. Either use DeseqDataSet (staged "
-            "pipeline), which falls back to iterative size factors, or pass "
-            "size_factors= computed by fit_size_factors('poscounts' / "
-            "'iterative')."
+    # (pydeseq2/dds.py:682-690). The streamed equivalents are the in-program
+    # poscounts estimator (sf_fit_type="poscounts") or injecting externally
+    # computed factors (size_factors= — e.g. the staged device iterative
+    # solver, models/dataset.py:_fit_iterate_size_factors(method="device")).
+    # When ratio was requested but is undefined, switch to in-stream
+    # poscounts with a warning rather than streaming NaN medians through the
+    # whole analysis.
+    if (
+        knobs.get("size_factors") is None
+        and knobs.get("sf_fit_type", "ratio") == "ratio"
+        and not (counts > 0).all(axis=1).any()
+    ):
+        warnings.warn(
+            "Every gene contains at least one zero, cannot compute log "
+            "geometric means: switching to in-stream poscounts size factors. "
+            "(The reference's staged fallback is the iterative MLE — pass "
+            "size_factors= from DeseqDataSet._fit_iterate_size_factors for "
+            "exact-parity normalization.)",
+            UserWarning,
+            stacklevel=2,
         )
+        knobs["sf_fit_type"] = "poscounts"
     if gene_block is None:
         budget_bytes = 4_000_000_000
         raw = int(max(1024, min(G, budget_bytes // (80 * N))))

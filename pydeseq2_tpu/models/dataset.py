@@ -999,16 +999,33 @@ class DeseqDataSet(DeseqDataContainer):
         finally:
             self.obsm["design_matrix"] = saved
 
-    def _fit_iterate_size_factors(self, niter: int = 10, quant: float = 0.95) -> None:
+    def _fit_iterate_size_factors(
+        self,
+        niter: int = 10,
+        quant: float = 0.95,
+        method: Literal["powell", "device"] | None = None,
+    ) -> None:
         """Trimmed-likelihood MLE size factors for zero-rich datasets.
 
         Behavior parity: reference pydeseq2/dds.py:1460-1548. Alternates (a)
         an intercept-only dispersion fit at the current size factors with (b)
-        a Powell search over per-sample log size factors minimising the NB
+        a search over per-sample log size factors minimising the NB
         likelihood of the best ``quant``-fraction of genes, until the
         log-size-factor update is small.
+
+        ``method`` selects the inner optimizer: ``"powell"`` is the
+        reference's scipy Powell over the full N-dimensional log-size-factor
+        vector (exact parity, but O(N^2) objective sweeps — it walls around
+        a few hundred samples); ``"device"`` is the batched per-sample
+        Newton solver (:func:`pydeseq2_tpu.ops.sizefactors.trimmed_sf_newton`)
+        that exploits the per-sample separability of the trimmed objective —
+        the scalable route for atlas-sized cohorts. Default (None): powell
+        up to 500 samples, device beyond.
         """
         from scipy.optimize import minimize
+
+        if method is None:
+            method = "powell" if self.n_obs <= 500 else "device"
 
         self.obs["size_factors"] = np.ones(self.n_obs)
         self.layers["normed_counts"] = self.X.astype(float)
@@ -1049,19 +1066,42 @@ class DeseqDataSet(DeseqDataContainer):
                 )
                 disp_nz = self.var.loc[nz, "dispersions"].values
 
-                def trimmed_nll(log_sf: np.ndarray) -> float:
-                    sf = np.exp(log_sf - log_sf.mean())
-                    per_gene = nb_nll_numpy(counts_nz, base_mu * sf[:, None], disp_nz)
-                    keep = per_gene < np.quantile(per_gene, quant)
-                    return float(per_gene[keep].sum())
+                if method == "device":
+                    import jax.numpy as jnp
 
-                best = minimize(trimmed_nll, log_sf0, method="Powell")
-                log_sf = best.x - best.x.mean()
-                self.obs["size_factors"] = np.exp(log_sf)
+                    from pydeseq2_tpu.ops.sizefactors import trimmed_sf_newton
 
-                if not best.success:
-                    print("A size factor fitting iteration failed.", file=sys.stderr)
-                    break
+                    fitted = np.asarray(
+                        trimmed_sf_newton(
+                            jnp.asarray(counts_nz.T),
+                            jnp.asarray(base_mu.T),
+                            jnp.asarray(disp_nz),
+                            jnp.asarray(log_sf0),
+                            quant=quant,
+                        )
+                    )
+                    log_sf = fitted - fitted.mean()
+                    self.obs["size_factors"] = np.exp(log_sf)
+                else:
+
+                    def trimmed_nll(log_sf: np.ndarray) -> float:
+                        sf = np.exp(log_sf - log_sf.mean())
+                        per_gene = nb_nll_numpy(
+                            counts_nz, base_mu * sf[:, None], disp_nz
+                        )
+                        keep = per_gene < np.quantile(per_gene, quant)
+                        return float(per_gene[keep].sum())
+
+                    best = minimize(trimmed_nll, log_sf0, method="Powell")
+                    log_sf = best.x - best.x.mean()
+                    self.obs["size_factors"] = np.exp(log_sf)
+
+                    if not best.success:
+                        print(
+                            "A size factor fitting iteration failed.",
+                            file=sys.stderr,
+                        )
+                        break
                 if it > 1 and np.sum((log_sf0 - log_sf) ** 2) < 1e-4:
                     break
                 if it == niter - 1:

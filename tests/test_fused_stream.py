@@ -169,22 +169,91 @@ def test_streamed_sample_blocked_size_factors(counts_df, metadata):
     )
 
 
-def test_streamed_rejects_zero_inflated_counts():
-    """Zero-inflated data (a zero in every gene) fails loudly, not with NaNs.
+def test_streamed_zero_inflated_switches_to_poscounts():
+    """Zero-inflated data (a zero in every gene) falls back to in-stream
+    poscounts normalization with a warning, and the analysis completes.
 
     The reference switches ratio -> iterative size factors in this regime
-    (pydeseq2/dds.py:682-690); the iterative MLE is a staged-path feature,
-    so the streamed wrapper must direct users there instead of streaming
-    undefined medians through the analysis.
+    (pydeseq2/dds.py:682-690); the streamed path's scalable equivalent is
+    the poscounts estimator (the iterative device solver can be injected
+    via size_factors= for exact parity).
     """
     import pytest
 
     rng = np.random.default_rng(0)
-    counts = rng.poisson(2.0, (20, 12)).astype(float)
-    counts[:, 0] = 0.0  # one zero per gene
+    counts = rng.poisson(20.0, (24, 12)).astype(float)
+    # One zero per gene, scattered across samples (no all-zero sample —
+    # a sample with no positive counts has no definable size factor in the
+    # reference either).
+    counts[np.arange(24), np.arange(24) % 12] = 0.0
     X = np.column_stack([np.ones(12), rng.integers(0, 2, 12)]).astype(float)
-    with pytest.raises(ValueError, match="iterative"):
-        run_summary_streamed(counts, X, [0.0, 1.0])
+    with pytest.warns(UserWarning, match="poscounts"):
+        out = run_summary_streamed(
+            counts, X, [0.0, 1.0], gene_block=8, dtype=np.float64
+        )
+    assert np.isfinite(out["size_factors"]).all()
+    assert np.isfinite(out["p_values"]).sum() > 0
+
+
+def test_streamed_poscounts_matches_staged(counts_df, metadata):
+    """In-stream poscounts size factors == the staged device sort kernel.
+
+    The whole downstream analysis must then match a staged-injected run
+    (reference poscounts estimator: pydeseq2/dds.py:656-679).
+    """
+    dds = DeseqDataSet(
+        counts=counts_df, metadata=metadata, design="~condition", quiet=True
+    )
+    dds.fit_size_factors(fit_type="poscounts")
+    sf_staged = dds.obs["size_factors"].values
+
+    out = run_summary_streamed(
+        counts_df.values.T,
+        dds.obsm["design_matrix"],
+        [0.0, 1.0],
+        gene_block=4,
+        dtype=np.float64,
+        sf_fit_type="poscounts",
+        max_disp=float(max(10, counts_df.shape[0])),
+    )
+    np.testing.assert_allclose(out["size_factors"], sf_staged, rtol=1e-12)
+
+    injected = run_summary_streamed(
+        counts_df.values.T,
+        dds.obsm["design_matrix"],
+        [0.0, 1.0],
+        gene_block=4,
+        dtype=np.float64,
+        size_factors=sf_staged,
+        max_disp=float(max(10, counts_df.shape[0])),
+    )
+    np.testing.assert_allclose(
+        out["padj"], injected["padj"], rtol=1e-10, equal_nan=True
+    )
+
+
+def test_iterative_size_factors_device_matches_golden(counts_df, metadata):
+    """The batched per-sample Newton solver reproduces the R golden.
+
+    Same <2% bar as the Powell path (reference dds.py:1460-1548); this is
+    the optimizer the iterative mode uses beyond ~500 samples, where an
+    N-dimensional Powell search is intractable.
+    """
+    import pandas as pd
+
+    from conftest import data_path
+
+    r_sf = pd.read_csv(
+        data_path("single_factor", "r_iterative_size_factors.csv"), index_col=0
+    ).squeeze()
+    dds = DeseqDataSet(
+        counts=counts_df, metadata=metadata, design="~condition", quiet=True
+    )
+    dds._fit_iterate_size_factors(method="device")
+    rel = (
+        np.abs(r_sf.values - dds.obs["size_factors"].values) / np.abs(r_sf.values)
+    ).max()
+    assert rel < 0.02, rel
 
 
 def test_streamed_injected_size_factors(counts_df, metadata):
