@@ -1,25 +1,36 @@
-"""North-star scale runs: streamed fused pipeline at the BASELINE.json configs.
+"""North-star scale runs: streamed pipelines at the BASELINE.json configs.
 
-Drives the gene-streamed summary pipeline (counts -> padj, refit_cooks=False)
-at the scales the reference was never measured at:
+Drives the gene-streamed programs at the scales the reference was never
+measured at:
 
     100  x 60,000   (north-star throughput config; measured CPU baseline exists)
     1,000 x 60,000  (TCGA scale, BASELINE.json config 4)
     10,000 x 60,000 (pseudobulk atlas scale, BASELINE.json config 5)
 
-and merges wall-clock / genes-per-second / sanity stats into SCALE.json at the
-repo root. Each config's result records the device, the gene_block used, and
-the fraction of genes with finite p-values (an all-lanes-ran check).
+across four modes:
+
+    summary  counts -> padj, refit_cooks=False (the Wald-summary subset)
+    refit    counts -> padj with Cook's outlier replacement + refit — the
+             reference's DEFAULT pipeline (pydeseq2/dds.py:221,1042-1064)
+    shrink   apeGLM LFC shrinkage of the condition coefficient
+             (pydeseq2/ds.py:363-447) from the summary outputs
+    vst      blind variance-stabilizing transform (pydeseq2/dds.py:349-514)
+
+and merges wall-clock / genes-per-second / sanity stats into SCALE.json at
+the repo root (key "<cfg>" for summary, "<cfg>_<mode>" otherwise).
 
 Usage:
-    python benchmarks/scale_runs.py                       # all three configs
-    SCALE_CONFIGS=1000x60000 python benchmarks/scale_runs.py
-    SCALE_BLOCK=4096 SCALE_REPS=2 python benchmarks/scale_runs.py
+    python benchmarks/scale_runs.py                       # all configs, summary
+    SCALE_CONFIGS=1000x60000,10000x60000 SCALE_MODES=refit,shrink,vst \
+        python benchmarks/scale_runs.py
+    SCALE_BLOCK=4096 SCALE_REPS=3 python benchmarks/scale_runs.py
 
 The reference baseline (BASELINE_MEASURED.json) only has 100x60000 — the CPU
-backend at the two larger configs would need hours — so vs_baseline for those
-is extrapolated per-gene-sample work (documented in SCALE.json as
-"baseline_extrapolated": true).
+backend at the two larger configs would need hours — so vs_baseline for
+summary mode at those is extrapolated per-gene-sample work (documented in
+SCALE.json as "baseline_extrapolated": true, slope validated by the measured
+1000x10000 anchor row). The refit/shrink/vst modes have no measured CPU
+stage baseline and carry no vs_baseline.
 """
 
 from __future__ import annotations
@@ -61,150 +72,283 @@ def make_data_chunked(n_samples: int, n_genes: int, seed: int = 0, chunk: int = 
     return counts, X
 
 
-def pick_block(n_samples: int) -> int | None:
-    """None = the pipeline's memory-budget auto-pick (whole axis at small N)."""
-    return None
+def _bench_reps(fn, reps):
+    fn()  # warm (compile on the first config/mode, cache hit afterwards)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return min(times)
 
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from pydeseq2_tpu.fused_stream import run_summary_streamed
+    from pydeseq2_tpu.fused import summary_host_inputs
+    from pydeseq2_tpu.fused_stream import (
+        lfc_shrink_pipeline_streamed,
+        run_summary_streamed,
+        summary_pipeline_streamed,
+        vst_pipeline_streamed,
+    )
 
     configs = os.environ.get(
         "SCALE_CONFIGS", "100x60000,1000x60000,10000x60000"
     ).split(",")
+    modes = os.environ.get("SCALE_MODES", "summary").split(",")
     out_path = ROOT / "SCALE.json"
     results = json.loads(out_path.read_text()) if out_path.exists() else {}
 
     base_path = ROOT / "BASELINE_MEASURED.json"
     baseline = json.loads(base_path.read_text()) if base_path.exists() else {}
-    # Reference CPU cost is ~linear in genes x samples over the measured range
-    # (per-gene scipy work scales with N): extrapolate from the largest
-    # measured config when an exact measurement is missing.
-    ref_key = "100x60000"
-    ref_rate = None
-    if ref_key in baseline:
-        n0, g0 = (int(v) for v in ref_key.split("x"))
-        ref_rate = baseline[ref_key]["wall_s"] / (n0 * g0)  # s per gene-sample
+    # Reference CPU cost is per-gene-independent (so ~linear in G), but the
+    # per-gene cost is AFFINE in N, not proportional: the scipy solvers'
+    # iteration counts are N-independent and only the per-iteration
+    # likelihood evaluations scale with N. Round 2 extrapolated linearly in
+    # N x G; the measured 1000x10000 anchor (64.2 s vs 261 s predicted)
+    # showed that overstates the reference cost ~4x at 1k samples. Fit
+    # per-gene(N) = a + b*N through the two measured large-G anchors
+    # (100x60000, 1000x10000); the held-out 200x30000 lands within 6%.
+    anchors = [k for k in ("100x60000", "1000x10000") if k in baseline]
+    pg_model = None
+    if len(anchors) == 2:
+        pts = []
+        for k in anchors:
+            n, g = (int(v) for v in k.split("x"))
+            pts.append((n, baseline[k]["wall_s"] / g))  # s per gene
+        (n1, c1), (n2, c2) = pts
+        b = (c2 - c1) / (n2 - n1)
+        a = c1 - b * n1
+        pg_model = (a, b)
+
+    device = str(jax.devices()[0])
 
     for cfg in configs:
         cfg = cfg.strip()
         n_samples, n_genes = (int(v) for v in cfg.split("x"))
         env_block = os.environ.get("SCALE_BLOCK")
-        block = int(env_block) if env_block else pick_block(n_samples)
-        reps = int(os.environ.get("SCALE_REPS", 2 if n_samples <= 1000 else 1))
+        block = int(env_block) if env_block else None
+        reps = int(os.environ.get("SCALE_REPS", 3))
 
         print(f"== {cfg} (gene_block={block}) ==", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         counts, X = make_data_chunked(n_samples, n_genes)
         gen_s = time.perf_counter() - t0
         contrast = np.array([0.0, 1.0], np.float32)
-
-        # Time with a SINGLE scalar readback depending on every stage
-        # (bench.py's convention): on a remote-dispatch backend, reading all
-        # ~17 output arrays back one by one costs ~50 ms of tunnel latency
-        # EACH — measured 0.8 s of pure readback on a 0.18 s program.
-        import jax.numpy as jnp
-
-        from pydeseq2_tpu.fused import summary_host_inputs
-        from pydeseq2_tpu.fused_stream import summary_pipeline_streamed
-
         host = summary_host_inputs(X)
+        max_disp = float(max(10, n_samples))
 
-        def make_timed():
-            """Device-resident inputs + a timed call with ONE readback."""
-            padded_G = -(-n_genes // block_resolved) * block_resolved
-            c = counts
-            if padded_G != n_genes:
-                c = np.pad(counts, ((0, padded_G - n_genes), (0, 0)))
-            c_dev = jnp.asarray(c)
-            x_dev = jnp.asarray(X.astype(np.float32))
-            cv_dev = jnp.asarray(contrast)
-            null_dev = jnp.asarray(0.0, jnp.float32)
-            cut_dev = jnp.asarray(host["cooks_cutoff"], jnp.float32)
-            mask_dev = jnp.asarray(np.arange(padded_G) < n_genes)
+        counts_dev = jnp.asarray(counts)
+        del counts
+        x_dev = jnp.asarray(X.astype(np.float32))
+        cv_dev = jnp.asarray(contrast)
 
-            def run_timed():
-                out_d = summary_pipeline_streamed(
-                    c_dev,
-                    x_dev,
-                    cv_dev,
-                    null_dev,
-                    cut_dev,
-                    mask_dev,
-                    gene_block=block_resolved,
-                    sample_block=sample_block,
-                    cohort_ids=host["cohort_ids"],
-                    use_for_max=host["use_for_max"],
-                    mu_init=host["mu_init"],
-                    max_disp=float(max(10, n_samples)),
-                    beta_tol=1e-6,
-                )
-                return float(jnp.nansum(out_d["padj"]) + jnp.nansum(out_d["lfc"]))
-
-            return run_timed
-
-        # Full host wrapper once: resolves auto blocks + materializes outputs
-        # for the sanity stats (not timed).
+        # Shared across modes: the full summary wrapper once (resolves the
+        # auto gene_block, yields outputs for sanity stats + shrink inputs).
         t0 = time.perf_counter()
         out = run_summary_streamed(
-            counts,
-            X,
-            contrast,
-            gene_block=block,
-            max_disp=float(max(10, n_samples)),
-            beta_tol=1e-6,
+            counts_dev, X, contrast,
+            gene_block=block, max_disp=max_disp, beta_tol=1e-6,
         )
         compile_s = time.perf_counter() - t0
         block_resolved = int(out["gene_block"])
-        sample_block = None
-        if counts.size * 4 > 1_000_000_000:
-            divisors = [
-                d for d in range(1, min(n_samples, 1024) + 1) if n_samples % d == 0
-            ]
-            sample_block = divisors[-1] if divisors[-1] > 1 else None
+        padded_G = -(-n_genes // block_resolved) * block_resolved
+        sample_block = (
+            min(n_samples, 1024)
+            if n_genes * n_samples * 4 > 1_000_000_000
+            else None
+        )
+        if padded_G != n_genes:
+            counts_pad = jnp.pad(counts_dev, ((0, padded_G - n_genes), (0, 0)))
+        else:
+            counts_pad = counts_dev
+        mask_dev = jnp.asarray(np.arange(padded_G) < n_genes)
+        null_dev = jnp.asarray(0.0, jnp.float32)
+        cut_dev = jnp.asarray(host["cooks_cutoff"], jnp.float32)
 
-        run_timed = make_timed()
-        run_timed()  # warm the timed call path
-        times = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            run_timed()
-            times.append(time.perf_counter() - t0)
-        best = min(times)
+        for mode in [m.strip() for m in modes]:
+            key = cfg if mode == "summary" else f"{cfg}_{mode}"
+            print(f"-- mode {mode} --", file=sys.stderr, flush=True)
+            entry = {
+                "device": device,
+                "dtype": "float32",
+                "gene_block": block_resolved,
+                "data_gen_s": round(gen_s, 1),
+            }
 
-        pv = out["p_values"]
-        finite_frac = float(np.isfinite(pv).mean())
-        padj_finite = float(np.isfinite(out["padj"]).mean())
-        entry = {
-            "wall_s": round(best, 3),
-            "genes_per_s": round(n_genes / best, 1),
-            "timing": "steady-state: counts device-resident (one-time upload "
-            "and compile excluded), one scalar readback as the barrier",
-            "compile_plus_first_run_s": round(compile_s, 1),
-            "data_gen_s": round(gen_s, 1),
-            "gene_block": int(out["gene_block"]),
-            "reps": reps,
-            "pvalue_finite_frac": round(finite_frac, 5),
-            "padj_finite_frac": round(padj_finite, 5),
-            "irls_converged_frac": round(
-                float(np.asarray(out["irls_converged"], bool).mean()), 5
-            ),
-            "device": str(jax.devices()[0]),
-            "dtype": "float32",
-        }
-        if cfg in baseline:
-            entry["vs_baseline"] = round(baseline[cfg]["wall_s"] / best, 1)
-            entry["baseline_extrapolated"] = False
-        elif ref_rate is not None:
-            entry["vs_baseline"] = round(ref_rate * n_samples * n_genes / best, 1)
-            entry["baseline_extrapolated"] = True
-        results[cfg] = entry
-        out_path.write_text(json.dumps(results, indent=2) + "\n")
-        print(json.dumps({cfg: entry}), flush=True)
-        del out, counts
+            if mode == "summary":
+                # Time with a SINGLE scalar readback depending on every stage
+                # (bench.py's convention): on a remote-dispatch backend,
+                # reading ~17 output arrays back one by one costs ~50 ms of
+                # tunnel latency EACH.
+                def run_timed():
+                    o = summary_pipeline_streamed(
+                        counts_pad, x_dev, cv_dev, null_dev, cut_dev, mask_dev,
+                        gene_block=block_resolved,
+                        sample_block=sample_block,
+                        cohort_ids=host["cohort_ids"],
+                        use_for_max=host["use_for_max"],
+                        mu_init=host["mu_init"],
+                        max_disp=max_disp,
+                        beta_tol=1e-6,
+                    )
+                    return float(jnp.nansum(o["padj"]) + jnp.nansum(o["lfc"]))
+
+                best = _bench_reps(run_timed, reps)
+                entry["timing"] = (
+                    "steady-state: counts device-resident (one-time upload "
+                    "and compile excluded), one scalar readback as the barrier"
+                )
+                entry["compile_plus_first_run_s"] = round(compile_s, 1)
+                entry["pvalue_finite_frac"] = round(
+                    float(np.isfinite(out["p_values"]).mean()), 5
+                )
+                entry["padj_finite_frac"] = round(
+                    float(np.isfinite(out["padj"]).mean()), 5
+                )
+                entry["irls_converged_frac"] = round(
+                    float(np.asarray(out["irls_converged"], bool).mean()), 5
+                )
+                if cfg in baseline:
+                    entry["vs_baseline"] = round(baseline[cfg]["wall_s"] / best, 1)
+                    entry["baseline_extrapolated"] = False
+                elif pg_model is not None:
+                    a, b = pg_model
+                    pred = (a + b * n_samples) * n_genes
+                    entry["vs_baseline"] = round(pred / best, 1)
+                    entry["baseline_extrapolated"] = True
+                    entry["baseline_model"] = (
+                        "per-gene affine in N, fitted to measured "
+                        "100x60000 + 1000x10000 anchors"
+                    )
+
+            elif mode == "refit":
+                # The reference-DEFAULT pipeline: Cook's replacement + refit.
+                # Timed as the full host wrapper (device-resident counts):
+                # includes the readback of every per-gene result array, the
+                # compacted refit program, and the host-side merge — the
+                # wall a user of run_summary_streamed(refit_cooks=True) sees.
+                last = {}
+
+                def run_refit():
+                    r = run_summary_streamed(
+                        counts_dev, X, contrast,
+                        gene_block=block_resolved,
+                        refit_cooks=True,
+                        max_disp=max_disp, beta_tol=1e-6,
+                    )
+                    last.update(r)
+
+                t0 = time.perf_counter()
+                run_refit()  # compile (main refit_mode pass + refit program)
+                entry["compile_plus_first_run_s"] = round(
+                    time.perf_counter() - t0, 1
+                )
+                best = _bench_reps(run_refit, reps)
+                entry["timing"] = (
+                    "full run_summary_streamed(refit_cooks=True) wall, "
+                    "counts device-resident: includes per-gene result "
+                    "readbacks, the compacted refit program and host merge"
+                )
+                entry["replaced_frac"] = round(
+                    float(np.asarray(last["replaced"]).mean()), 5
+                )
+                entry["refitted_frac"] = round(
+                    float(np.asarray(last["refitted"]).mean()), 5
+                )
+                entry["pvalue_finite_frac"] = round(
+                    float(np.isfinite(last["p_values"]).mean()), 5
+                )
+                entry["padj_finite_frac"] = round(
+                    float(np.isfinite(last["padj"]).mean()), 5
+                )
+
+            elif mode == "shrink":
+                disp = np.asarray(out["dispersions"], np.float32)
+                ok = np.isfinite(disp) & (disp > 0)
+                size = np.ones(padded_G, np.float32)
+                size[:n_genes][ok] = 1.0 / disp[ok]
+                smask = mask_dev & jnp.asarray(
+                    np.pad(ok, (0, padded_G - n_genes))
+                )
+                size_dev = jnp.asarray(size)
+                logsf_dev = jnp.log(
+                    jnp.asarray(out["size_factors"], jnp.float32)
+                )
+                from pydeseq2_tpu.models.stats import _apeglm_prior_variance
+
+                mle_lfc = np.asarray(out["lfc"], float)[:, 1]
+                mle_se = np.asarray(out["se"], float)
+                sel = np.isfinite(mle_lfc) & np.isfinite(mle_se)
+                prior_var = _apeglm_prior_variance(mle_lfc[sel], mle_se[sel])
+                ps_dev = jnp.asarray(
+                    min(float(np.sqrt(prior_var)), 1.0), jnp.float32
+                )
+
+                def run_shrink():
+                    o = lfc_shrink_pipeline_streamed(
+                        counts_pad, size_dev, logsf_dev, x_dev, ps_dev, smask,
+                        gene_block=block_resolved, shrink_index=1,
+                    )
+                    return float(jnp.nansum(o["lfc"]) + jnp.nansum(o["se"]))
+
+                best = _bench_reps(run_shrink, reps)
+                entry["timing"] = (
+                    "steady-state apeGLM shrink program (prior fitted from "
+                    "pass-1 MLEs host-side, untimed), one scalar readback"
+                )
+                o = lfc_shrink_pipeline_streamed(
+                    counts_pad, size_dev, logsf_dev, x_dev, ps_dev, smask,
+                    gene_block=block_resolved, shrink_index=1,
+                )
+                lf = np.asarray(o["lfc"])[:n_genes, 1]
+                entry["shrunk_lfc_finite_frac"] = round(
+                    float(np.isfinite(lf)[ok].mean()), 5
+                )
+                entry["shrink_converged_frac"] = round(
+                    float(np.asarray(o["converged"])[:n_genes][ok].mean()), 5
+                )
+
+            elif mode == "vst":
+
+                def run_vst():
+                    o = vst_pipeline_streamed(
+                        counts_pad, mask_dev,
+                        gene_block=block_resolved,
+                        sample_block=sample_block,
+                        max_disp=max_disp,
+                    )
+                    return float(jnp.nansum(o["vst_counts"][:, 0]))
+
+                best = _bench_reps(run_vst, reps)
+                entry["timing"] = (
+                    "steady-state blind-VST program, device-resident counts, "
+                    "one scalar-column readback as the barrier "
+                    "(the (G, N) transform stays on device)"
+                )
+                o = vst_pipeline_streamed(
+                    counts_pad, mask_dev,
+                    gene_block=block_resolved,
+                    sample_block=sample_block,
+                    max_disp=max_disp,
+                )
+                col = np.asarray(o["vst_counts"][:n_genes, 0])
+                entry["vst_finite_frac"] = round(float(np.isfinite(col).mean()), 5)
+                entry["trend_used_mean"] = bool(np.asarray(o["trend_used_mean"]))
+
+            else:
+                raise SystemExit(f"unknown mode {mode!r}")
+
+            entry["wall_s"] = round(best, 3)
+            entry["genes_per_s"] = round(n_genes / best, 1)
+            entry["reps"] = reps
+            results[key] = entry
+            out_path.write_text(json.dumps(results, indent=2) + "\n")
+            print(json.dumps({key: entry}), flush=True)
+
+        del out, counts_dev, counts_pad
 
     print(f"wrote {out_path}", file=sys.stderr)
 

@@ -1,7 +1,7 @@
 """Throughput vs device count on a virtual CPU mesh (sharding-overhead probe).
 
 Real multi-chip TPU hardware is not available in this environment, so this
-measures the next-best thing: the fused Wald pipeline jitted over 1/2/4/8
+measures the next-best thing: the fused pipelines jitted over 1/2/4/8
 virtual CPU devices (xla_force_host_platform_device_count) with the gene axis
 sharded. On a 2-core host more virtual devices cannot make the math faster —
 what this DOES measure is the cost the SPMD partitioning itself adds
@@ -11,8 +11,12 @@ throughput should stay ~flat as the device count rises, which is the
 correctness trend that predicts near-linear scaling on real chips where each
 shard gets its own compute.
 
-Writes SCALING_MESH.json at the repo root and prints one JSON line per mesh
-size. Knobs: SCALING_GENES (default 30000), SCALING_SAMPLES (100).
+Two configs (VERDICT r2 item 9): the 100-sample north-star shape, and a
+1k-sample shape where the cross-gene reductions (sample medians, trend
+gathers) carry real weight. Writes SCALING_MESH.json at the repo root.
+
+Knobs: SCALING_CONFIGS (default "100x30000,1000x20000"), SCALING_MESHES
+(default "1,2,4,8").
 """
 
 from __future__ import annotations
@@ -50,64 +54,77 @@ def main() -> None:
         shard_gene_major,
     )
 
-    N = int(os.environ.get("SCALING_SAMPLES", 100))
-    G = int(os.environ.get("SCALING_GENES", 30_000))
-    counts_np, design_np = make_data(N, G)
-    dtype = jnp.float32
-    contrast_np = np.eye(design_np.shape[1])[-1]
+    configs = os.environ.get("SCALING_CONFIGS", "100x30000,1000x20000").split(",")
+    meshes = [int(v) for v in os.environ.get("SCALING_MESHES", "1,2,4,8").split(",")]
 
-    results = {}
-    reference_pv = None
-    for n_dev in (1, 2, 4, 8):
-        mesh = make_gene_mesh(n_dev)
-        counts = shard_gene_major(jnp.asarray(counts_np.T, dtype), mesh)
-        design = jax.device_put(jnp.asarray(design_np, dtype), replicated(mesh))
-        contrast = jax.device_put(jnp.asarray(contrast_np, dtype), replicated(mesh))
-
-        fn = jax.jit(
-            lambda c, X, cv: wald_pipeline(
-                c, X, cv, jnp.asarray(0.0, dtype), max_disp=float(max(10, N)),
-                beta_tol=1e-6,
-            )
-        )
-
-        def run():
-            out = fn(counts, design, contrast)
-            return np.asarray(out["p_values"])
-
-        t0 = time.perf_counter()
-        pv = run()
-        compile_s = time.perf_counter() - t0
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            pv = run()
-            times.append(time.perf_counter() - t0)
-        best = min(times)
-
-        if reference_pv is None:
-            reference_pv = pv
-            max_dev = 0.0
-        else:
-            a, b = np.nan_to_num(pv), np.nan_to_num(reference_pv)
-            max_dev = float(np.max(np.abs(a - b)))
-        entry = {
-            "wall_s": round(best, 3),
-            "genes_per_s": round(G / best, 1),
-            "compile_s": round(compile_s, 1),
-            "max_abs_pvalue_dev_vs_1dev": max_dev,
-        }
-        results[str(n_dev)] = entry
-        print(json.dumps({f"{n_dev}_devices": entry}), flush=True)
-
-    out = {
-        "config": f"{N}x{G} f32, fused wald_pipeline, gene-sharded",
+    out_path = ROOT / "SCALING_MESH.json"
+    artifact = {
         "host": "virtual CPU mesh (2 physical cores) - measures sharding "
         "overhead, not compute scaling",
-        "results": results,
+        "configs": {},
     }
-    (ROOT / "SCALING_MESH.json").write_text(json.dumps(out, indent=2) + "\n")
-    print(f"wrote {ROOT / 'SCALING_MESH.json'}", file=sys.stderr)
+
+    for cfg in configs:
+        N, G = (int(v) for v in cfg.strip().split("x"))
+        counts_np, design_np = make_data(N, G)
+        dtype = jnp.float32
+        contrast_np = np.eye(design_np.shape[1])[-1]
+
+        results = {}
+        reference_pv = None
+        for n_dev in meshes:
+            mesh = make_gene_mesh(n_dev)
+            counts = shard_gene_major(jnp.asarray(counts_np.T, dtype), mesh)
+            design = jax.device_put(
+                jnp.asarray(design_np, dtype), replicated(mesh)
+            )
+            contrast = jax.device_put(
+                jnp.asarray(contrast_np, dtype), replicated(mesh)
+            )
+
+            fn = jax.jit(
+                lambda c, X, cv: wald_pipeline(
+                    c, X, cv, jnp.asarray(0.0, dtype),
+                    max_disp=float(max(10, N)), beta_tol=1e-6,
+                )
+            )
+
+            def run():
+                out = fn(counts, design, contrast)
+                return np.asarray(out["p_values"])
+
+            t0 = time.perf_counter()
+            pv = run()
+            compile_s = time.perf_counter() - t0
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                pv = run()
+                times.append(time.perf_counter() - t0)
+            best = min(times)
+
+            if reference_pv is None:
+                reference_pv = pv
+                max_dev = 0.0
+            else:
+                a, b = np.nan_to_num(pv), np.nan_to_num(reference_pv)
+                max_dev = float(np.max(np.abs(a - b)))
+            entry = {
+                "wall_s": round(best, 3),
+                "genes_per_s": round(G / best, 1),
+                "compile_s": round(compile_s, 1),
+                "max_abs_pvalue_dev_vs_1dev": max_dev,
+            }
+            results[str(n_dev)] = entry
+            print(json.dumps({cfg: {f"{n_dev}_devices": entry}}), flush=True)
+
+        artifact["configs"][cfg] = {
+            "program": "fused wald_pipeline f32, gene-sharded",
+            "results": results,
+        }
+        out_path.write_text(json.dumps(artifact, indent=2) + "\n")
+
+    print(f"wrote {out_path}", file=sys.stderr)
 
 
 if __name__ == "__main__":

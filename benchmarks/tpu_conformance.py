@@ -174,6 +174,52 @@ def main() -> None:
     cvec = np.array([0.0, 0.0, 1.0])
     results["multifactor_fused"] = compare(fused(counts_df, dds, cvec), r_res, 0.04)
 
+    streamed = run_summary_streamed(
+        counts_df.values.T,
+        dds.obsm["design_matrix"],
+        cvec,
+        gene_block=4,
+        refit_cooks=True,  # the reference-DEFAULT pipeline, streamed
+        max_disp=float(max(10, counts_df.shape[0])),
+        beta_tol=F32_BETA_TOL,
+    )
+    results["multifactor_streamed"] = compare(
+        fused_results_df(streamed, cvec, counts_df.columns), r_res, 0.04
+    )
+
+    # ---- multifactor with injected outliers (streamed Cook's refit) ---------
+    # The R-checked outlier scenario (reference tests/test_pydeseq2.py:434-509)
+    # through the streamed replacement/refit flow — the fixture that actually
+    # exercises refit (the clean fixture replaces nothing).
+    r_out = pd.read_csv(DATA / "multi_factor" / "r_test_res_outliers.csv", index_col=0)
+    counts_out = counts_df.copy()
+    meta_out = metadata.copy()
+    counts_out.loc["sample1", "gene1"] = 2000
+    counts_out.loc["sample11", "gene7"] = 1000
+    meta_out.loc["sample1", "condition"] = "C"
+    dds_out = DeseqDataSet(
+        counts=counts_out, metadata=meta_out, design="~group + condition",
+        beta_tol=F32_BETA_TOL, quiet=True,
+    )
+    cvec_out = np.asarray(
+        dds_out.contrast(column="condition", baseline="A", group_to_compare="B"),
+        np.float32,
+    )
+    streamed = run_summary_streamed(
+        counts_out.values.T,
+        dds_out.obsm["design_matrix"],
+        cvec_out,
+        gene_block=4,
+        refit_cooks=True,
+        max_disp=float(max(10, counts_out.shape[0])),
+        beta_tol=F32_BETA_TOL,
+    )
+    row = compare(
+        fused_results_df(streamed, cvec_out, counts_out.columns), r_out, 0.04
+    )
+    row["refitted_genes"] = int(np.asarray(streamed["refitted"]).sum())
+    results["multifactor_outliers_streamed"] = row
+
     # ---- continuous covariate ----------------------------------------------
     counts_df = pd.read_csv(DATA / "continuous" / "test_counts.csv", index_col=0).T
     metadata = pd.read_csv(DATA / "continuous" / "test_metadata.csv", index_col=0)
@@ -192,6 +238,19 @@ def main() -> None:
     ds.summary()
     results["continuous_staged"] = compare(ds.results_df, r_res, 0.04)
     results["continuous_fused"] = compare(fused(counts_df, dds, cvec), r_res, 0.04)
+
+    streamed = run_summary_streamed(
+        counts_df.values.T,
+        dds.obsm["design_matrix"],
+        cvec.astype(np.float32),
+        gene_block=4,
+        refit_cooks=True,  # continuous metadata: mu_init resolves to "irls"
+        max_disp=float(max(10, counts_df.shape[0])),
+        beta_tol=F32_BETA_TOL,
+    )
+    results["continuous_streamed"] = compare(
+        fused_results_df(streamed, cvec, counts_df.columns), r_res, 0.04
+    )
 
     results["all_pass"] = all(
         v["pass"] for v in results.values() if isinstance(v, dict) and "pass" in v

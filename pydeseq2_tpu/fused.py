@@ -148,7 +148,8 @@ def fit_fused_trend(
     min_disp: float,
     trend_type: str,
     max_rounds: int = 20,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    return_rounds: bool = False,
+) -> tuple[jnp.ndarray, ...]:
     """Dispersion trend curve, fully in-program, with the mean fallback.
 
     ``parametric``: iterated gamma-GLM fit of alpha(mu) = a1/mu + a0 with
@@ -166,7 +167,9 @@ def fit_fused_trend(
     Returns ``(fitted, trend_coeffs, used_mean, mean_disp)``; ``fitted`` is
     NOT non_zero-masked (callers mask), ``used_mean`` is a traced scalar
     bool (True when the mean trend was used, either by request or via
-    fallback).
+    fallback). With ``return_rounds=True`` an int32 scalar — the number of
+    gamma-GLM exclusion rounds the while_loop ran — is appended (measured
+    for the trip-count-aware roofline).
     """
     dtype = base_mean.dtype
     sel = genewise_m > 10.0 * min_disp
@@ -174,12 +177,13 @@ def fit_fused_trend(
 
     if trend_type == "mean":
         G = base_mean.shape[0]
-        return (
+        out = (
             jnp.full((G,), mean_disp, dtype=dtype),
             jnp.zeros((2,), dtype),
             jnp.asarray(True),
             mean_disp,
         )
+        return out + (jnp.asarray(0, jnp.int32),) if return_rounds else out
 
     covariates = 1.0 / base_mean
     valid0 = non_zero & jnp.isfinite(covariates) & jnp.isfinite(genewise_m)
@@ -209,10 +213,14 @@ def fit_fused_trend(
         jnp.asarray(False),
         jnp.asarray(0, jnp.int32),
     )
-    _, coeffs, _, failed, _ = jax.lax.while_loop(keep_iterating, trend_round, init)
+    _, coeffs, _, failed, rounds = jax.lax.while_loop(
+        keep_iterating, trend_round, init
+    )
 
     parametric = coeffs[0] + coeffs[1] / base_mean
     fitted = jnp.where(failed, mean_disp, parametric)
+    if return_rounds:
+        return fitted, coeffs, failed, mean_disp, rounds
     return fitted, coeffs, failed, mean_disp
 
 

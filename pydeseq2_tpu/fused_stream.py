@@ -814,7 +814,14 @@ def run_summary_streamed(
         (reference default 7).
     knobs : forwarded to :func:`summary_pipeline_streamed`.
     """
-    counts = np.asarray(counts, dtype=dtype)
+    # Device-resident counts stay on device: at atlas scale the (G, N) tile
+    # is gigabytes, and a remote-dispatch backend would pay a full
+    # host->device re-upload per call if the wrapper forced numpy.
+    on_device = isinstance(counts, jax.Array)
+    if on_device:
+        counts = counts.astype(dtype)
+    else:
+        counts = np.asarray(counts, dtype=dtype)
     G, N = counts.shape
     # Median-of-ratios needs at least one all-positive gene; on zero-inflated
     # data the reference switches to iterative (MLE) size factors
@@ -857,7 +864,8 @@ def run_summary_streamed(
 
     padded_G = math.ceil(G / gene_block) * gene_block
     if padded_G != G:
-        counts = np.pad(counts, ((0, padded_G - G), (0, 0)))
+        pad = jnp.pad if on_device else np.pad
+        counts = pad(counts, ((0, padded_G - G), (0, 0)))
     gene_mask = np.arange(padded_G) < G
 
     knobs.setdefault("mu_init", host["mu_init"])
@@ -891,10 +899,13 @@ def run_summary_streamed(
         use_for_max=host["use_for_max"],
         **knobs,
     )
+    # exceeds_packed is the one large output (G, ceil(N/32)) and is only
+    # consumed device-side by the refit gather — never read it back to host.
     res = {
         k: np.asarray(v)[:G] if np.ndim(v) >= 1 and v.shape[0] == padded_G
         else np.asarray(v)
         for k, v in out.items()
+        if k != "exceeds_packed"
     }
     if refit_active:
         res = _apply_streamed_refit(
@@ -1059,7 +1070,11 @@ def run_lfc_shrink_streamed(
     pydeseq2/ds.py:384-397). Genes with NaN dispersions (all-zero lanes)
     return NaN.
     """
-    counts = np.asarray(counts, dtype=dtype)
+    on_device = isinstance(counts, jax.Array)
+    if on_device:
+        counts = counts.astype(dtype)
+    else:
+        counts = np.asarray(counts, dtype=dtype)
     G, N = counts.shape
     design = np.asarray(
         design_matrix.values if hasattr(design_matrix, "values") else design_matrix,
@@ -1083,7 +1098,8 @@ def run_lfc_shrink_streamed(
 
     padded_G = math.ceil(G / gene_block) * gene_block
     if padded_G != G:
-        counts = np.pad(counts, ((0, padded_G - G), (0, 0)))
+        pad = jnp.pad if on_device else np.pad
+        counts = pad(counts, ((0, padded_G - G), (0, 0)))
     gene_mask = np.arange(padded_G) < G
 
     disp = np.asarray(dispersions, dtype=dtype)
@@ -1229,7 +1245,11 @@ def run_vst_streamed(
     **knobs,
 ) -> dict:
     """Host wrapper for :func:`vst_pipeline_streamed` (pads/unpads genes)."""
-    counts = np.asarray(counts, dtype=dtype)
+    on_device = isinstance(counts, jax.Array)
+    if on_device:
+        counts = counts.astype(dtype)
+    else:
+        counts = np.asarray(counts, dtype=dtype)
     G, N = counts.shape
     if gene_block is None:
         raw = int(max(1024, min(G, 4_000_000_000 // (80 * N))))
@@ -1237,7 +1257,8 @@ def run_vst_streamed(
         gene_block = ((-(-G // n_blocks) + 7) // 8) * 8
     padded_G = math.ceil(G / gene_block) * gene_block
     if padded_G != G:
-        counts = np.pad(counts, ((0, padded_G - G), (0, 0)))
+        pad = jnp.pad if on_device else np.pad
+        counts = pad(counts, ((0, padded_G - G), (0, 0)))
     gene_mask = np.arange(padded_G) < G
     if "sample_block" not in knobs:
         if G * N * np.dtype(dtype).itemsize > 1_000_000_000:

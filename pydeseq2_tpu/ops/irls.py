@@ -39,6 +39,7 @@ def _weighted_gram(X: jnp.ndarray, W: jnp.ndarray) -> jnp.ndarray:
         "maxiter",
         "step_tol",
         "polish_iters",
+        "return_iters",
     ),
 )
 def irls_core(
@@ -53,6 +54,7 @@ def irls_core(
     maxiter: int = 250,
     step_tol: float | None = None,
     polish_iters: int = 2,
+    return_iters: bool = False,
 ):
     """Masked-lane batched IRLS.
 
@@ -70,6 +72,10 @@ def irls_core(
         last non-diverged iterate and are flagged).
     needs_fallback : (G,) bool - lane diverged or hit maxiter.
     converged : (G,) bool - deviance ratio dropped below ``beta_tol``.
+    n_iter : int32 scalar, only with ``return_iters=True`` — while-loop trip
+        count (= the slowest lane's iteration count: every trip processes
+        all G lanes, so total work is body_cost x n_iter). Measured for the
+        trip-count-aware roofline (benchmarks/roofline.py).
 
     Parity: the update W = mu/(1+mu*alpha), z = log(mu/sf) + (y-mu)/mu,
     beta = (X^T W X + 1e-6 I)^{-1} X^T W z and the deviance stopping rule
@@ -231,6 +237,8 @@ def irls_core(
         g_old = jnp.abs(ridged_grad(beta)[0]).max(axis=1)
         beta = jnp.where((g_new < g_old)[:, None], polished, beta)
 
+    if return_iters:
+        return beta, needs_fb, converged, it
     return beta, needs_fb, converged
 
 

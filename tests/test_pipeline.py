@@ -209,7 +209,12 @@ def test_contrast_antisymmetry(counts_df, metadata):
 
 
 def test_anndata_init(counts_df, metadata, tol=0.02):
-    ad = pytest.importorskip("anndata")
+    # Real anndata when installed (CI installs .[anndata]); otherwise the
+    # in-repo duck-typed double, so the adata= adapter path always executes.
+    try:
+        import anndata as ad
+    except ImportError:
+        import fake_anndata as ad
     np.random.seed(42)
     adata = ad.AnnData(X=counts_df.astype(int), obs=metadata)
     adata.obsm["dummy_metadata"] = np.random.choice(2, adata.n_obs)
