@@ -498,3 +498,51 @@ def test_streamed_lfc_shrink_matches_staged(counts_df, metadata):
     np.testing.assert_allclose(
         out["se"], ds.SE.values, rtol=1e-4, equal_nan=True
     )
+
+
+def test_streamed_continuous_golden():
+    """Continuous-covariate R golden (tol 0.04) through the streamed path.
+
+    Mirrors the reference continuous scenario (tests/test_pydeseq2.py:
+    560-622) with refit_cooks=True — the design resolves mu_init='irls', so
+    this pins the streamed per-block IRLS mu initialization and the
+    refit-mode bookkeeping on a non-categorical design against R DESeq2.
+    """
+    import pandas as pd
+
+    from conftest import data_path
+
+    counts_df = pd.read_csv(
+        data_path("continuous", "test_counts.csv"), index_col=0
+    ).T
+    metadata = pd.read_csv(
+        data_path("continuous", "test_metadata.csv"), index_col=0
+    )
+    r_res = pd.read_csv(data_path("continuous", "r_test_res.csv"), index_col=0)
+
+    dds = DeseqDataSet(
+        counts=counts_df,
+        metadata=metadata,
+        design="~group + condition + measurement",
+        quiet=True,
+    )
+    cvec = np.zeros(dds.obsm["design_matrix"].shape[1])
+    cvec[-1] = 1.0
+    stream = run_summary_streamed(
+        counts_df.values.T.astype(float),
+        dds.obsm["design_matrix"],
+        cvec,
+        gene_block=4,
+        dtype=np.float64,
+        refit_cooks=True,
+        max_disp=float(max(10, counts_df.shape[0])),
+    )
+    l2fc = stream["lfc"] @ cvec / np.log(2.0)
+    for col, got in (
+        ("log2FoldChange", l2fc),
+        ("pvalue", stream["p_values"]),
+        ("padj", stream["padj"]),
+    ):
+        r = r_res[col].values
+        assert np.array_equal(np.isnan(r), np.isnan(got)), col
+        assert np.nanmax(np.abs(r - got) / np.abs(r)) < 0.04, col
