@@ -230,11 +230,30 @@ def main() -> None:
                 # includes the readback of every per-gene result array, the
                 # compacted refit program, and the host-side merge — the
                 # wall a user of run_summary_streamed(refit_cooks=True) sees.
+                #
+                # Model-clean NB counts produce essentially no Cook's
+                # outliers (a >21-sigma cell), which would time a refit
+                # pass that replaces nothing. Spike ~0.2% of genes with one
+                # corrupted cell each (the reference's own outlier-test
+                # construction, tests/test_pydeseq2.py:437-441, at scale)
+                # so the compacted refit tile demonstrably runs.
+                rng = np.random.default_rng(7)
+                n_spiked = max(16, n_genes // 500)
+                g_idx = rng.choice(n_genes, n_spiked, replace=False)
+                s_idx = rng.integers(0, n_samples, n_spiked)
+                col = np.asarray(counts_dev[g_idx, s_idx])
+                spiked = jnp.asarray(
+                    np.maximum(col * 100.0, 2000.0), jnp.float32
+                )
+                counts_spk = counts_dev.at[
+                    jnp.asarray(g_idx), jnp.asarray(s_idx)
+                ].set(spiked)
+                entry["spiked_genes_frac"] = round(n_spiked / n_genes, 5)
                 last = {}
 
                 def run_refit():
                     r = run_summary_streamed(
-                        counts_dev, X, contrast,
+                        counts_spk, X, contrast,
                         gene_block=block_resolved,
                         refit_cooks=True,
                         max_disp=max_disp, beta_tol=1e-6,
@@ -264,6 +283,7 @@ def main() -> None:
                 entry["padj_finite_frac"] = round(
                     float(np.isfinite(last["padj"]).mean()), 5
                 )
+                del counts_spk, run_refit, last  # free the spiked copy
 
             elif mode == "shrink":
                 disp = np.asarray(out["dispersions"], np.float32)

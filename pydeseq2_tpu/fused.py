@@ -74,20 +74,33 @@ def _irls_with_rescue(
     wrapper warns when it is non-zero) so users are not left inferring a
     hit cap from converged flags.
 
-    Cost note: the rescue tiers run on a COMPACTED lane block, not at full
-    gene width. Flagged lanes are gathered (argsort, flagged-first) into a
-    (K, N) tile with K = max(512, G/64); the projected-Newton line search
-    evaluates its objective ~780 times, so at full width it would dominate
-    the whole pipeline (measured: ~900 ms of a 1.24 s program at 60k x 100,
-    and still 31 ms at K = G/16) for what is typically a handful of lanes.
-    Lanes beyond the K budget — only reachable when >1.5% of all genes
-    diverge — keep their last IRLS iterate and report converged=False,
-    exactly like a reference lane whose optimizer failed (the staged
-    backend's host-gathered rescue has no such cap if that regime matters).
+    Cost note: the IRLS itself is TWO-PHASE. The per-lane iteration counts
+    are extremely tail-heavy (measured at 100x60k: 99.2% of lanes converge
+    within 6 trips, yet the masked full-width while_loop runs 24 trips for
+    the last ~84 stragglers — every trip processing all G lanes). Phase 1
+    runs ``maxiter=phase1_iters`` at full width; lanes still unfinished are
+    gathered (argsort, flagged-first) into the same compacted (K, N) tile
+    the rescue tiers use, K = max(512, G/64), and continue there from their
+    current iterate with the remaining 250 - phase1_iters budget. Per-lane
+    arithmetic is lane-local (row-wise reductions over N), so lanes that
+    converge in phase 1 are bit-identical to the single-phase result; the
+    restart only resets the straggler lanes' deviance-history sentinel,
+    which can delay (never hasten) their stop by a trip or two.
+
+    The rescue tiers likewise run on the compacted tile; the projected-
+    Newton line search evaluates its objective ~780 times, so at full width
+    it would dominate the whole pipeline (measured: ~900 ms of a 1.24 s
+    program at 60k x 100, and still 31 ms at K = G/16) for what is
+    typically a handful of lanes. Lanes beyond the K budget — only
+    reachable when >~1.5% of all genes are still unfinished after phase 1 —
+    keep their phase-1 iterate and report converged=False, exactly like a
+    reference lane whose optimizer failed (the staged backend's
+    host-gathered rescue has no such cap if that regime matters).
     """
+    phase1_iters = 12  # 99.96% of lanes finish by here (measured tail CDF)
     beta, needs_fb, converged = irls_core(
         counts, size_factors, design_matrix, disp, beta_init,
-        min_mu=min_mu, beta_tol=beta_tol,
+        min_mu=min_mu, beta_tol=beta_tol, maxiter=phase1_iters,
     )
     G = counts.shape[0]
     K = min(G, max(512, G // 64))
@@ -97,6 +110,26 @@ def _irls_with_rescue(
     order = jnp.argsort(~needs_fb)
     idx = order[:K]
     sel = needs_fb[idx]
+
+    def continue_compacted(operands):
+        beta, needs_fb, converged = operands
+        b2, nfb2, conv2 = irls_core(
+            counts[idx], size_factors, design_matrix, disp[idx], beta[idx],
+            min_mu=min_mu, beta_tol=beta_tol, maxiter=250 - phase1_iters,
+        )
+        return (
+            beta.at[idx].set(jnp.where(sel[:, None], b2, beta[idx])),
+            needs_fb.at[idx].set(jnp.where(sel, nfb2, needs_fb[idx])),
+            converged.at[idx].set(jnp.where(sel, conv2, converged[idx])),
+        )
+
+    beta, needs_fb, converged = jax.lax.cond(
+        needs_fb.any(),
+        continue_compacted,
+        lambda ops: ops,
+        (beta, needs_fb, converged),
+    )
+    sel = needs_fb[idx]  # re-read: phase 2 resolved most phase-1 flags
 
     def newton_rescue(operands):
         beta, converged = operands
