@@ -667,9 +667,8 @@ def device_padj(
     theta = lower_q + (upper_q - lower_q) * jnp.linspace(0.0, 1.0, 50, dtype=dtype)
     cutoffs = jnp.nanquantile(base_m, theta)
     masks = (base_mean[None, :] >= cutoffs[:, None]) & valid[None, :]
-    adj = stats_ops.bh_adjust_masked(
-        jnp.broadcast_to(p_filled, (50, G)), masks
-    )  # (50, G), NaN outside masks
+    # 1-D p + (50, G) masks -> the shared-argsort BH path (one sort total).
+    adj = stats_ops.bh_adjust_masked(p_filled, masks)  # (50, G), NaN outside
     num_rej = (adj < alpha).sum(axis=1)
     lo = stats_ops.lowess_device(theta, num_rej.astype(dtype), frac=1.0 / 5.0)
     resid = jnp.where(num_rej > 0, num_rej.astype(dtype) - lo, jnp.nan)

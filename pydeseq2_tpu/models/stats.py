@@ -77,7 +77,8 @@ def _independent_filter_padj(
 
     testable = ~np.isnan(p_values)
     survives = (base_mean[None, :] >= thresholds[:, None]) & testable[None, :]
-    p_filled = np.broadcast_to(np.nan_to_num(p_values, nan=1.0), survives.shape)
+    # 1-D p + (50, G) masks -> the shared-argsort BH path (one sort total).
+    p_filled = np.nan_to_num(p_values, nan=1.0)
     padj_per_cutoff = np.asarray(stats_ops.bh_adjust_masked(p_filled, survives))
 
     with warnings.catch_warnings():

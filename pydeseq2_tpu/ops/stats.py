@@ -131,21 +131,49 @@ def mean_absolute_deviation(x: jnp.ndarray) -> jnp.ndarray:
 def bh_adjust_masked(p_values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Benjamini-Hochberg adjustment of ``p_values`` restricted to ``mask``.
 
-    Batched over leading axes: ``p_values`` and ``mask`` share shape
-    (..., G); the adjustment is performed independently per leading index on
-    the masked subset, with NaN outside the mask. This vectorizes the
-    reference's 50 independent-filtering BH passes (pydeseq2/ds.py:509-513)
-    into one device program.
+    Batched over leading axes: the adjustment is performed independently per
+    leading mask index on the masked subset, with NaN outside the mask. This
+    vectorizes the reference's 50 independent-filtering BH passes
+    (pydeseq2/ds.py:509-513) into one device program.
+
+    When ``p_values`` has FEWER dims than ``mask`` (one shared p-vector,
+    many masks — exactly the independent-filtering sweep), the rows share a
+    single argsort of p: each row's masked subset keeps its relative order
+    under the global sort, so the per-row subset rank is just a cumsum of
+    the sorted mask. That turns M sorts of G into 1 sort + M cumsum/cummin
+    passes — on TPU the 50-row sweep was sort-dominated (50 bitonic sorts
+    of 60k). Tied p-values are safe: BH assigns every element of a tie run
+    the same adjusted value regardless of how the sort permutes the run.
+    Shared-path callers must pre-fill NaNs (the masked entries are not
+    pushed to the end of the shared sort).
 
     Parity: scipy.stats.false_discovery_control(ps, method="bh").
     """
     p = jnp.asarray(p_values, dtype=jnp.result_type(float))
     mask = jnp.asarray(mask, dtype=bool)
+    n_valid = mask.sum(axis=-1, keepdims=True)
+
+    if p.ndim < mask.ndim or (p.ndim == mask.ndim == 1):
+        # Shared-order path: one sort for every mask row.
+        order = jnp.argsort(p, axis=-1)
+        p_sorted = jnp.take(p, order, axis=-1)
+        mask_sorted = mask[..., order]
+        ranks = jnp.cumsum(mask_sorted, axis=-1, dtype=p.dtype)
+        scaled = jnp.where(
+            mask_sorted,
+            p_sorted * n_valid / jnp.maximum(ranks, 1.0),
+            jnp.inf,
+        )
+        rev_cummin = jnp.flip(jax_lax_cummin(jnp.flip(scaled, -1)), -1)
+        adj_sorted = jnp.clip(rev_cummin, max=1.0)
+        inv = jnp.argsort(order, axis=-1)
+        adj = adj_sorted[..., inv]
+        return jnp.where(mask, adj, jnp.nan)
+
     big = jnp.inf
     pm = jnp.where(mask, p, big)
     order = jnp.argsort(pm, axis=-1)
     p_sorted = jnp.take_along_axis(pm, order, axis=-1)
-    n_valid = mask.sum(axis=-1, keepdims=True)
     g = p.shape[-1]
     ranks = jnp.arange(1, g + 1, dtype=p.dtype)
     scaled = p_sorted * n_valid / ranks

@@ -141,3 +141,30 @@ def test_fused_rescue_compaction_scatter():
     np.testing.assert_array_equal(
         np.asarray(beta)[keep], np.asarray(beta_plain)[keep]
     )
+
+
+def test_bh_shared_order_matches_per_row():
+    """The shared-argsort BH path == the per-row-sort path, ties included.
+
+    The independent-filtering sweep passes one p-vector with 50 nested
+    masks; the shared path does a single global sort. BH is invariant to
+    how a sort permutes a tie run (every element of the run gets the same
+    adjusted value), which this pins with heavily tied p-values.
+    """
+    rng = np.random.default_rng(5)
+    G, M = 400, 13
+    p = rng.uniform(0, 1, G)
+    p[rng.choice(G, 120, replace=False)] = np.round(
+        rng.uniform(0, 1, 120), 1
+    )  # force many exact ties
+    base = rng.lognormal(2, 1, G)
+    cutoffs = np.quantile(base, np.linspace(0, 0.9, M))
+    masks = base[None, :] >= cutoffs[:, None]
+
+    shared = np.asarray(bh_adjust_masked(jnp.asarray(p), jnp.asarray(masks)))
+    per_row = np.asarray(
+        bh_adjust_masked(
+            jnp.asarray(np.broadcast_to(p, (M, G)).copy()), jnp.asarray(masks)
+        )
+    )
+    np.testing.assert_allclose(shared, per_row, rtol=1e-12, equal_nan=True)
