@@ -728,8 +728,9 @@ def _apply_streamed_refit(
             beta_tol=knobs.get("beta_tol", 1e-8),
             mu_init=knobs.get("mu_init", "linear"),
         )
-        rnp = {k: np.asarray(v)[:n_rep] if np.ndim(v) >= 1 else np.asarray(v)
-               for k, v in r.items()}
+        # One fetch for the refit outputs too (see the wrapper's device_get).
+        r_host = jax.device_get(dict(r))
+        rnp = {k: v[:n_rep] if np.ndim(v) >= 1 else v for k, v in r_host.items()}
 
         naz = rnp["new_all_zero"]
         live = ~naz
@@ -901,11 +902,15 @@ def run_summary_streamed(
     )
     # exceeds_packed is the one large output (G, ceil(N/32)) and is only
     # consumed device-side by the refit gather — never read it back to host.
+    # ONE device_get for the whole tree: per-array np.asarray would pay a
+    # full ~50 ms tunnel round-trip EACH on the remote backend (~17 arrays
+    # = ~0.85 s of pure latency); a single fetch overlaps the transfers.
+    host_out = jax.device_get(
+        {k: v for k, v in out.items() if k != "exceeds_packed"}
+    )
     res = {
-        k: np.asarray(v)[:G] if np.ndim(v) >= 1 and v.shape[0] == padded_G
-        else np.asarray(v)
-        for k, v in out.items()
-        if k != "exceeds_packed"
+        k: v[:G] if np.ndim(v) >= 1 and v.shape[0] == padded_G else v
+        for k, v in host_out.items()
     }
     if refit_active:
         res = _apply_streamed_refit(
@@ -1119,7 +1124,7 @@ def run_lfc_shrink_streamed(
         shrink_index=int(coeff_idx),
         prior_no_shrink_scale=prior_no_shrink_scale,
     )
-    res = {k: np.asarray(v)[:G] for k, v in out.items()}
+    res = {k: v[:G] for k, v in jax.device_get(dict(out)).items()}
     res["prior_scale"] = prior_scale
     res["gene_block"] = gene_block
     return res
@@ -1270,9 +1275,8 @@ def run_vst_streamed(
         **knobs,
     )
     res = {
-        k: np.asarray(v)[:G] if np.ndim(v) >= 1 and v.shape[0] == padded_G
-        else np.asarray(v)
-        for k, v in out.items()
+        k: v[:G] if np.ndim(v) >= 1 and v.shape[0] == padded_G else v
+        for k, v in jax.device_get(dict(out)).items()
     }
     res["gene_block"] = gene_block
     return res
