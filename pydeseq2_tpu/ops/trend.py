@@ -61,28 +61,57 @@ def gamma_glm_trend_fit(
         wgt = w / mu**2
         return (x.T * wgt) @ x / n
 
-    def body(i, state):
-        c, f_val = state
+    # Both loops are convergence-driven while_loops, not fixed-trip foris:
+    # every iteration is a handful of (G,) reductions whose cost is kernel
+    # latency, not flops, so evaluating 60 x 20 steps when Newton converges
+    # in ~10 outer trips (2 parameters, quadratic contraction) made this
+    # tiny fit one of the larger stages of the fused program (~12 ms of a
+    # 99 ms wall at 100x60k — prefix-DCE attribution in ROOFLINE.json).
+
+    def bt_cond(carry):
+        j, t, best_c, best_f, done = carry
+        return ~done & (j < 20)
+
+    def outer_cond(state):
+        i, c, f_val, stalled = state
+        return ~stalled & (i < maxiter)
+
+    def body(state):
+        i, c, f_val, _ = state
         g = grad(c)
         H = fisher(c) + 1e-12 * jnp.eye(2, dtype=dtype)
         step = jnp.linalg.solve(H, g)
 
-        def bt(j, carry):
-            t, best_c, best_f, done = carry
+        def bt(carry):
+            j, t, best_c, best_f, done = carry
             cand = jnp.maximum(c - t * step, _LOWER)
             f_cand = loss(cand)
-            improve = (f_cand < best_f) & ~done
+            improve = f_cand < best_f
             best_c = jnp.where(improve, cand, best_c)
             best_f = jnp.where(improve, f_cand, best_f)
-            return t * 0.5, best_c, best_f, done | improve
+            return j + 1, t * 0.5, best_c, best_f, done | improve
 
-        _, c_new, f_new, _ = jax.lax.fori_loop(
-            0, 20, bt, (jnp.asarray(1.0, dtype), c, f_val, jnp.asarray(False))
+        _, _, c_new, f_new, improved = jax.lax.while_loop(
+            bt_cond,
+            bt,
+            (
+                jnp.asarray(0, jnp.int32),
+                jnp.asarray(1.0, dtype),
+                c,
+                f_val,
+                jnp.asarray(False),
+            ),
         )
-        return c_new, f_new
+        # Stop when backtracking found nothing, or the accepted decrease
+        # fell below eval roundoff — further trips only burn latency.
+        tiny = 10.0 * jnp.finfo(dtype).eps * (jnp.abs(f_val) + 1.0)
+        stalled = ~improved | (f_val - f_new <= tiny)
+        return i + 1, c_new, f_new, stalled
 
     c0 = jnp.array([1.0, 1.0], dtype=dtype)
-    coeffs, f_val = jax.lax.fori_loop(0, maxiter, body, (c0, loss(c0)))
+    _, coeffs, f_val, _ = jax.lax.while_loop(
+        outer_cond, body, (jnp.asarray(0, jnp.int32), c0, loss(c0), jnp.asarray(False))
+    )
     predictions = x @ coeffs
     # Converged = projected Newton decrement below a dtype-scaled relative
     # tolerance. An absolute gradient threshold misreports in f32: the fit
