@@ -31,6 +31,23 @@ from pydeseq2_tpu.utils import load_example_data  # noqa: E402
 TEST_DATA = os.path.join(os.path.dirname(__file__), "data")
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound the XLA:CPU compiler's accumulated in-process state.
+
+    With the whole suite in one process, compiling the largest sharded
+    program (fused pipeline with the two-phase IRLS mu-init, 8 virtual
+    devices) segfaults inside ``backend_compile_and_load`` once a few
+    hundred compilations' worth of state has built up — deterministically
+    at the same test, while the same test passes in a fresh process or a
+    half-suite run. Dropping the jit caches per module keeps the peak
+    state bounded; within-module compilation reuse (where the real wins
+    are) is untouched.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def counts_df() -> pd.DataFrame:
     return load_example_data(modality="raw_counts", dataset="synthetic")
