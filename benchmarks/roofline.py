@@ -272,7 +272,8 @@ def main() -> None:
         "is logical operand traffic, an upper bound on HBM traffic after "
         "fusion.",
     }
-    (ROOT / "ROOFLINE.json").write_text(json.dumps(result, indent=2) + "\n")
+    out_path = Path(os.environ.get("ROOFLINE_OUT", str(ROOT / "ROOFLINE.json")))
+    out_path.write_text(json.dumps(result, indent=2) + "\n")
     print(json.dumps(result, indent=2))
 
 

@@ -3,16 +3,18 @@
 `run_deseq2` is the production entry point: host-side validation, design
 materialization and static prep, then the ENTIRE analysis — normalization,
 dispersion estimation (genewise -> trend -> prior -> MAP), IRLS LFCs, Wald
-tests, Cook's outlier masking and independent filtering — as ONE jit-compiled
-XLA program (:func:`pydeseq2_tpu.fused.summary_pipeline`), optionally sharded
-over a multi-chip gene mesh.
+tests, Cook's outlier masking/refitting and independent filtering — as
+jit-compiled XLA programs, optionally sharded over a multi-chip gene mesh.
 
 Equivalent reference workflow (owkin/PyDESeq2): `DeseqDataSet(...).deseq2()`
 followed by `DeseqStats(...).summary()` (reference pydeseq2/dds.py:516-562,
-pydeseq2/ds.py:223-301) with ``refit_cooks=False``; use the staged
-:class:`~pydeseq2_tpu.DeseqDataSet` driver when Cook's outlier *refitting*
-is needed (it requires data-dependent re-runs that do not belong in one
-compiled program).
+pydeseq2/ds.py:223-301). Like the reference, ``refit_cooks`` defaults to
+True (reference pydeseq2/dds.py:221): Cook's-outlier counts are replaced and
+the affected genes refitted via the gene-streamed program pair
+(:func:`pydeseq2_tpu.fused_stream.run_summary_streamed` — main pass in
+refit_mode + a compacted refit tile). With ``refit_cooks=False`` the whole
+analysis is ONE monolithic XLA program
+(:func:`pydeseq2_tpu.fused.summary_pipeline`).
 """
 
 from __future__ import annotations
@@ -34,6 +36,8 @@ def run_deseq2(
     lfc_null: float = 0.0,
     alt_hypothesis: str | None = None,
     fit_type: str = "parametric",
+    refit_cooks: bool = True,
+    min_replicates: int = 7,
     min_mu: float = 0.5,
     min_disp: float = 1e-8,
     max_disp: float | None = None,
@@ -58,6 +62,14 @@ def run_deseq2(
     contrast : list[str] | np.ndarray
         ``["variable", "tested_level", "ref_level"]`` (reference
         pydeseq2/ds.py:91-103) or an explicit (P,) contrast vector.
+    refit_cooks : bool
+        Replace Cook's-outlier counts and refit the affected genes — the
+        reference's DEFAULT pipeline (pydeseq2/dds.py:221,1042-1064). Runs
+        the gene-streamed program pair; ``False`` runs the single monolithic
+        XLA program (flag-then-mask semantics, no replacement).
+    min_replicates : int
+        Minimum cohort size for a sample's counts to be replaceable
+        (reference pydeseq2/dds.py:219-224, default 7).
     lfc_null : float
         Null log2 fold change (converted to natural log internally, matching
         reference pydeseq2/ds.py:301).
@@ -136,10 +148,63 @@ def run_deseq2(
         "linear" if len(design_df.value_counts()) == n_vars else "irls"
     )
 
-    host = summary_host_inputs(design_df)
-
     counts_gm = np.asarray(dds.X, float).T  # gene-major (G, N)
     G = counts_gm.shape[0]
+
+    if refit_cooks:
+        # The reference's default analysis: Cook's replacement + refit needs
+        # a data-dependent second program, so it runs through the streamed
+        # wrapper (main pass in refit_mode + compacted refit tile + host
+        # merge) rather than the single monolithic program.
+        from pydeseq2_tpu.fused_stream import run_summary_streamed
+
+        counts_in = counts_gm
+        if mesh is not None:
+            # The streamed wrapper pads + masks the gene axis itself (its
+            # pad lanes are gene_mask=False, so they cannot contaminate the
+            # independent-filtering quantiles); here we only place the raw
+            # counts sharded over the mesh (uneven trailing shard allowed).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            counts_in = jax.device_put(
+                jnp.asarray(counts_gm, dtype),
+                NamedSharding(mesh, P("genes", None)),
+            )
+        res = run_summary_streamed(
+            counts_in,
+            design_df,
+            contrast_vector,
+            float(np.log(2) * lfc_null),  # log2 -> natural log
+            dtype=dtype,
+            refit_cooks=True,
+            min_replicates=min_replicates,
+            alpha=alpha,
+            cooks_filter=cooks_filter,
+            independent_filter=independent_filter,
+            min_mu=min_mu,
+            min_disp=min_disp,
+            max_disp=max_disp,
+            beta_tol=beta_tol,
+            trend_type=fit_type,
+            alt_hypothesis=alt_hypothesis,
+            mu_init=mu_init,
+        )
+        ln2 = np.log(2)
+        lfc = np.asarray(res["lfc"])[:G]
+        results_df = pd.DataFrame(index=dds.var_names)
+        results_df["baseMean"] = np.asarray(res["base_mean"])[:G]
+        results_df["log2FoldChange"] = lfc @ contrast_vector / ln2
+        results_df["lfcSE"] = np.asarray(res["se"])[:G] / ln2
+        results_df["stat"] = np.asarray(res["statistics"])[:G]
+        results_df["pvalue"] = np.asarray(res["p_values"])[:G]
+        results_df["padj"] = np.asarray(res["padj"])[:G]
+        if not quiet:
+            print(results_df)
+        if return_state:
+            return results_df, res
+        return results_df
+
+    host = summary_host_inputs(design_df)
     gene_mask_np = None
     if mesh is not None:
         n_dev = int(np.prod(list(mesh.shape.values())))

@@ -79,3 +79,73 @@ def test_load_example_data_shapes():
     assert isinstance(counts, pd.DataFrame)
     assert counts.shape[0] == metadata.shape[0]
     assert set(metadata.columns) >= {"condition"}
+
+
+def _staged_results(counts, metadata, design, contrast, refit_cooks):
+    from pydeseq2_tpu import DeseqDataSet, DeseqStats
+
+    dds = DeseqDataSet(
+        counts=counts, metadata=metadata, design=design,
+        refit_cooks=refit_cooks, quiet=True,
+    )
+    dds.deseq2()
+    ds = DeseqStats(dds, contrast=contrast, quiet=True)
+    ds.summary()
+    return dds, ds
+
+
+def test_run_deseq2_default_refit_matches_staged():
+    """run_deseq2's DEFAULT pipeline is the reference's default: Cook's
+    outlier replacement + refit (reference pydeseq2/dds.py:221,1042-1064).
+
+    Injected outliers force actual replacement so the refit program runs.
+    """
+    from pydeseq2_tpu import run_deseq2
+    from pydeseq2_tpu.utils import load_example_data
+
+    counts = load_example_data("raw_counts").copy()
+    metadata = load_example_data("metadata")
+    counts.iloc[0, 0] = 1_000_000
+    counts.iloc[5, 3] = 500_000
+
+    dds, ds = _staged_results(
+        counts, metadata, "~condition", ["condition", "B", "A"], True
+    )
+    assert dds.var["refitted"].sum() > 0  # the scenario must actually refit
+
+    res, state = run_deseq2(
+        counts, metadata, "~condition",
+        contrast=["condition", "B", "A"],
+        return_state=True,
+    )
+    assert state["refitted"].sum() > 0
+    np.testing.assert_array_equal(
+        state["refitted"], dds.var["refitted"].values
+    )
+    for col in ("baseMean", "log2FoldChange", "lfcSE", "stat", "pvalue", "padj"):
+        np.testing.assert_allclose(
+            res[col].values, ds.results_df[col].values, rtol=1e-5,
+            equal_nan=True, err_msg=col,
+        )
+
+
+def test_run_deseq2_no_refit_matches_staged():
+    """refit_cooks=False routes through the monolithic one-program path."""
+    from pydeseq2_tpu import run_deseq2
+    from pydeseq2_tpu.utils import load_example_data
+
+    counts = load_example_data("raw_counts")
+    metadata = load_example_data("metadata")
+    _, ds = _staged_results(
+        counts, metadata, "~condition", ["condition", "B", "A"], False
+    )
+    res = run_deseq2(
+        counts, metadata, "~condition",
+        contrast=["condition", "B", "A"],
+        refit_cooks=False,
+    )
+    for col in ("baseMean", "log2FoldChange", "lfcSE", "stat", "pvalue", "padj"):
+        np.testing.assert_allclose(
+            res[col].values, ds.results_df[col].values, rtol=1e-5,
+            equal_nan=True, err_msg=col,
+        )
