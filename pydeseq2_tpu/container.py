@@ -121,6 +121,89 @@ class DeseqDataContainer:
         # treat as gene names
         return self.var_names.get_indexer(pd.Index(idx))
 
+    def _resolve_axis_indexer(self, indexer, n: int, names: pd.Index) -> np.ndarray:
+        """Resolve one axis of an AnnData-style indexer to integer positions.
+
+        Accepts slices, boolean masks, integer positions, name lists, and
+        scalar names/positions (the forms AnnData's ``__getitem__`` takes,
+        reference pydeseq2/dds.py:33 inherits them and uses e.g.
+        ``self[:, self.non_zero_genes]``, dds.py:868,1330,1490).
+        """
+        if isinstance(indexer, slice):
+            return np.arange(n)[indexer]
+        if np.isscalar(indexer) and not isinstance(indexer, (bool, np.bool_)):
+            if isinstance(indexer, str):
+                pos = names.get_indexer([indexer])
+                if pos[0] < 0:
+                    raise KeyError(indexer)
+                return pos
+            return np.asarray([indexer], dtype=int)
+        idx = np.asarray(indexer)
+        if idx.dtype == bool:
+            if idx.shape[0] != n:
+                raise ValueError(
+                    f"Boolean mask has length {idx.shape[0]}, expected {n}."
+                )
+            return np.where(idx)[0]
+        if np.issubdtype(idx.dtype, np.integer):
+            return idx
+        pos = names.get_indexer(pd.Index(idx))
+        if (pos < 0).any():
+            missing = list(np.asarray(idx)[pos < 0][:5])
+            raise KeyError(f"Names not found: {missing}")
+        return pos
+
+    def __getitem__(self, index) -> "DeseqDataContainer":
+        """AnnData-style slicing: ``c[samples]``, ``c[:, genes]``,
+        ``c[samples, genes]``.
+
+        Returns a :class:`DeseqDataContainer` restricted to the selection —
+        a materialized snapshot of every slot rather than AnnData's lazy
+        view (state arrays here are plain NumPy/JAX buffers; reference
+        scripts that do ``dds[:, genes].X`` / ``.var`` / ``.layers`` /
+        ``.copy()`` work unchanged, reference pydeseq2/dds.py:868-874,1330).
+        """
+        if not isinstance(index, tuple):
+            index = (index,)
+        if len(index) == 1:
+            index = (index[0], slice(None))
+        if len(index) != 2:
+            raise IndexError(
+                "Container indexing takes at most 2 axes (samples, genes)."
+            )
+        oidx, vidx = index
+        out = self
+        full = slice(None)
+        if not (isinstance(vidx, slice) and vidx == full):
+            out = out.subset_genes(
+                self._resolve_axis_indexer(vidx, self.n_vars, self.var_names)
+            )
+        if not (isinstance(oidx, slice) and oidx == full):
+            out = out.subset_obs(
+                self._resolve_axis_indexer(oidx, self.n_obs, self.obs_names)
+            )
+        if out is self:
+            out = self.subset_genes(np.arange(self.n_vars))
+        return out
+
+    def subset_obs(self, indexer) -> "DeseqDataContainer":
+        """Return a copy restricted to the given samples (rows)."""
+        pos = self._resolve_axis_indexer(indexer, self.n_obs, self.obs_names)
+        sub = DeseqDataContainer(
+            self._X[pos, :], obs=self.obs.iloc[pos], var=self.var
+        )
+        for k, v in self.layers.items():
+            sub.layers[k] = np.asarray(v)[pos, :]
+        for k, v in self.obsm.items():
+            if isinstance(v, pd.DataFrame):
+                sub.obsm[k] = v.iloc[pos]
+            else:
+                sub.obsm[k] = np.asarray(v)[pos]
+        for k, v in self.varm.items():
+            sub.varm[k] = v
+        sub.uns = dict(self.uns)
+        return sub
+
     def subset_genes(self, indexer) -> "DeseqDataContainer":
         """Return a copy restricted to the given genes (columns)."""
         pos = self.normalize_gene_indexer(indexer)

@@ -55,6 +55,7 @@ def _irls_with_rescue(
     beta_init: jnp.ndarray,
     min_mu: float,
     beta_tol: float,
+    phase1_iters: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Batched IRLS with the full rescue cascade fused into the program.
 
@@ -87,49 +88,82 @@ def _irls_with_rescue(
     restart only resets the straggler lanes' deviance-history sentinel,
     which can delay (never hasten) their stop by a trip or two.
 
+    If MORE than K lanes are still unfinished after phase 1 (>~1.5% of all
+    genes — continuous/many-sample designs where the 1-phase tail CDF the
+    constant was tuned on does not hold), the compacted tile cannot hold
+    them; instead of freezing the beyond-K lanes at their phase-1 iterate,
+    the continuation falls back to the FULL-WIDTH while_loop with the
+    remaining 250 - phase1_iters budget — paying the full-width latency
+    only in that pathological regime, and restoring the pre-two-phase
+    guarantee that every lane gets the whole 250-trip IRLS budget before
+    any cap applies.
+
     The rescue tiers likewise run on the compacted tile; the projected-
     Newton line search evaluates its objective ~780 times, so at full width
     it would dominate the whole pipeline (measured: ~900 ms of a 1.24 s
     program at 60k x 100, and still 31 ms at K = G/16) for what is
-    typically a handful of lanes. Lanes beyond the K budget — only
-    reachable when >~1.5% of all genes are still unfinished after phase 1 —
-    keep their phase-1 iterate and report converged=False, exactly like a
-    reference lane whose optimizer failed (the staged backend's
-    host-gathered rescue has no such cap if that regime matters).
+    typically a handful of lanes. ``overflow`` therefore counts lanes that
+    exhausted the full IRLS budget and needed the rescue tiers but sat
+    beyond the K tile: they keep their final IRLS iterate and report
+    converged=False, exactly like a reference lane whose optimizer failed
+    (the staged backend's host-gathered rescue has no such cap if that
+    regime matters).
     """
-    phase1_iters = 12  # 99.96% of lanes finish by here (measured tail CDF)
+    if phase1_iters is None:
+        phase1_iters = 12  # 99.96% of lanes finish by here (measured tail CDF)
     beta, needs_fb, converged = irls_core(
         counts, size_factors, design_matrix, disp, beta_init,
         min_mu=min_mu, beta_tol=beta_tol, maxiter=phase1_iters,
     )
     G = counts.shape[0]
     K = min(G, max(512, G // 64))
-    overflow = jnp.maximum(needs_fb.sum() - K, 0)
     # Flagged lanes first: argsort of ~needs_fb puts False (= flagged) at
     # the front; ties keep ascending lane order (argsort is stable).
-    order = jnp.argsort(~needs_fb)
-    idx = order[:K]
-    sel = needs_fb[idx]
+    order1 = jnp.argsort(~needs_fb)
+    idx1 = order1[:K]
 
     def continue_compacted(operands):
         beta, needs_fb, converged = operands
+        sel1 = needs_fb[idx1]
         b2, nfb2, conv2 = irls_core(
-            counts[idx], size_factors, design_matrix, disp[idx], beta[idx],
+            counts[idx1], size_factors, design_matrix, disp[idx1], beta[idx1],
             min_mu=min_mu, beta_tol=beta_tol, maxiter=250 - phase1_iters,
         )
         return (
-            beta.at[idx].set(jnp.where(sel[:, None], b2, beta[idx])),
-            needs_fb.at[idx].set(jnp.where(sel, nfb2, needs_fb[idx])),
-            converged.at[idx].set(jnp.where(sel, conv2, converged[idx])),
+            beta.at[idx1].set(jnp.where(sel1[:, None], b2, beta[idx1])),
+            needs_fb.at[idx1].set(jnp.where(sel1, nfb2, needs_fb[idx1])),
+            converged.at[idx1].set(jnp.where(sel1, conv2, converged[idx1])),
         )
 
-    beta, needs_fb, converged = jax.lax.cond(
-        needs_fb.any(),
-        continue_compacted,
-        lambda ops: ops,
+    def continue_full_width(operands):
+        # Unfinished lanes overflow the K tile: give EVERY unfinished lane
+        # the remaining budget at full width (already-finished lanes'
+        # outputs are discarded by the mask, so they are untouched).
+        beta, needs_fb, converged = operands
+        b2, nfb2, conv2 = irls_core(
+            counts, size_factors, design_matrix, disp, beta,
+            min_mu=min_mu, beta_tol=beta_tol, maxiter=250 - phase1_iters,
+        )
+        return (
+            jnp.where(needs_fb[:, None], b2, beta),
+            jnp.where(needs_fb, nfb2, needs_fb),
+            jnp.where(needs_fb, conv2, converged),
+        )
+
+    n_unfinished = needs_fb.sum()
+    branch = jnp.where(n_unfinished > K, 2, jnp.where(n_unfinished > 0, 1, 0))
+    beta, needs_fb, converged = jax.lax.switch(
+        branch,
+        [lambda ops: ops, continue_compacted, continue_full_width],
         (beta, needs_fb, converged),
     )
-    sel = needs_fb[idx]  # re-read: phase 2 resolved most phase-1 flags
+    # Rescue-tier compaction on the POST-continuation flags (the
+    # continuation resolves most phase-1 flags; after a full-width
+    # continuation the survivors can sit anywhere in the gene axis).
+    overflow = jnp.maximum(needs_fb.sum() - K, 0)
+    order = jnp.argsort(~needs_fb)
+    idx = order[:K]
+    sel = needs_fb[idx]
 
     def newton_rescue(operands):
         beta, converged = operands

@@ -925,10 +925,12 @@ def run_summary_streamed(
     res["gene_block"] = gene_block
     if int(res.get("rescue_overflow", 0)) > 0:
         warnings.warn(
-            f"{int(res['rescue_overflow'])} diverged IRLS lanes exceeded the "
-            "compacted rescue budget and kept their last IRLS iterate "
-            "(converged=False). This only happens when >~1.5% of genes "
-            "diverge; the staged DeseqDataSet path rescues without a cap.",
+            f"{int(res['rescue_overflow'])} IRLS lanes still unconverged "
+            "after the full 250-trip budget exceeded the compacted rescue "
+            "tile: they skipped the Newton/grid rescue tiers and kept their "
+            "final IRLS iterate (converged=False). This only happens when "
+            ">~1.5% of genes fail to converge in IRLS; the staged "
+            "DeseqDataSet path rescues without a cap.",
             UserWarning,
             stacklevel=2,
         )

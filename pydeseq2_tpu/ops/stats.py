@@ -144,16 +144,21 @@ def bh_adjust_masked(p_values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     passes — on TPU the 50-row sweep was sort-dominated (50 bitonic sorts
     of 60k). Tied p-values are safe: BH assigns every element of a tie run
     the same adjusted value regardless of how the sort permutes the run.
-    Shared-path callers must pre-fill NaNs (the masked entries are not
-    pushed to the end of the shared sort).
+    The shared-sort path requires a 1-D p vector; a broadcastable p with
+    1 < p.ndim < mask.ndim falls through to the per-row path (jnp.take
+    fancy indexing would silently mis-shape it otherwise). NaN entries
+    inside the mask are treated as unmasked (every caller pre-masks NaNs;
+    a NaN reaching the right-to-left cummin sweep would poison the whole
+    row).
 
     Parity: scipy.stats.false_discovery_control(ps, method="bh").
     """
     p = jnp.asarray(p_values, dtype=jnp.result_type(float))
     mask = jnp.asarray(mask, dtype=bool)
+    mask = mask & ~jnp.isnan(p)
     n_valid = mask.sum(axis=-1, keepdims=True)
 
-    if p.ndim < mask.ndim or (p.ndim == mask.ndim == 1):
+    if p.ndim == 1:
         # Shared-order path: one sort for every mask row.
         order = jnp.argsort(p, axis=-1)
         p_sorted = jnp.take(p, order, axis=-1)

@@ -258,3 +258,70 @@ def test_plot_MA(counts_df, metadata):
         ds.plot_MA()  # before summary() there is nothing to plot
     ds.summary()
     ds.plot_MA()
+
+
+# ------------------------------------------------------- deprecated kwargs
+# Reference behavior: pydeseq2/dds.py:258-286 — the legacy constructor
+# kwargs are still accepted with a DeprecationWarning; design_factors also
+# rebuilds the design formula.
+def test_deprecated_design_factors_builds_formula(counts_df, metadata):
+    from pydeseq2_tpu import DeseqDataSet
+
+    with pytest.warns(DeprecationWarning, match="design_factors is deprecated"):
+        dds = DeseqDataSet(
+            counts=counts_df,
+            metadata=metadata,
+            design_factors=["group", "condition"],
+            quiet=True,
+        )
+    assert dds.design == "~group + condition"
+    ref = DeseqDataSet(
+        counts=counts_df, metadata=metadata, design="~group + condition",
+        quiet=True,
+    )
+    pd.testing.assert_frame_equal(
+        dds.obsm["design_matrix"], ref.obsm["design_matrix"]
+    )
+
+    # A bare string is wrapped in a single-factor formula.
+    with pytest.warns(DeprecationWarning, match="design_factors is deprecated"):
+        dds1 = DeseqDataSet(
+            counts=counts_df, metadata=metadata, design_factors="condition",
+            quiet=True,
+        )
+    assert dds1.design == "~condition"
+
+
+def test_deprecated_ref_level_warns_no_effect(counts_df, metadata):
+    from pydeseq2_tpu import DeseqDataSet
+
+    with pytest.warns(DeprecationWarning, match="ref_level is deprecated"):
+        dds = DeseqDataSet(
+            counts=counts_df,
+            metadata=metadata,
+            design="~condition",
+            ref_level=["condition", "B"],
+            quiet=True,
+        )
+    ref = DeseqDataSet(
+        counts=counts_df, metadata=metadata, design="~condition", quiet=True
+    )
+    pd.testing.assert_frame_equal(
+        dds.obsm["design_matrix"], ref.obsm["design_matrix"]
+    )
+
+
+def test_deprecated_continuous_factors_warns(counts_df, metadata):
+    from pydeseq2_tpu import DeseqDataSet
+
+    with pytest.warns(
+        DeprecationWarning, match="continuous_factors is deprecated"
+    ):
+        dds = DeseqDataSet(
+            counts=counts_df,
+            metadata=metadata,
+            design="~condition",
+            continuous_factors=["condition"],
+            quiet=True,
+        )
+    assert "design_matrix" in dds.obsm

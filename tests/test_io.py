@@ -124,3 +124,57 @@ def test_anndata_adapter_roundtrip(counts_df, metadata, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(c2.varm["LFC"], float), np.asarray(dds.varm["LFC"], float)
     )
+
+
+def test_container_getitem_anndata_style(counts_df, metadata):
+    """AnnData-style 2-D slicing on the container and the fitted dataset.
+
+    Mirrors the reference's own usage (pydeseq2/dds.py:868-874: ``self[:,
+    self.non_zero_genes].var[...]``; dds.py:1330: ``self[:,
+    self.var["replaced"]].copy()``) so reference scripts run unchanged.
+    """
+    import numpy as np
+
+    from pydeseq2_tpu import DeseqDataSet
+
+    dds = DeseqDataSet(
+        counts=counts_df, metadata=metadata, design="~condition", quiet=True
+    )
+    dds.fit_size_factors()
+    dds.fit_genewise_dispersions()
+
+    # gene-name list slice
+    genes = dds.var_names[:3]
+    sub = dds[:, genes]
+    assert sub.n_vars == 3 and sub.n_obs == dds.n_obs
+    np.testing.assert_array_equal(sub.X, dds.X[:, :3])
+    np.testing.assert_array_equal(
+        sub.var["genewise_dispersions"].values,
+        dds.var["genewise_dispersions"].values[:3],
+    )
+
+    # boolean mask slice, then .copy() — the reference refit pattern
+    mask = np.zeros(dds.n_vars, dtype=bool)
+    mask[[1, 4]] = True
+    sub2 = dds[:, mask].copy()
+    assert list(sub2.var_names) == list(dds.var_names[[1, 4]])
+    np.testing.assert_array_equal(
+        sub2.layers["normed_counts"], dds.layers["normed_counts"][:, [1, 4]]
+    )
+
+    # sample slicing keeps var slots, subsets obs-aligned slots
+    head = dds[:10]
+    assert head.n_obs == 10 and head.n_vars == dds.n_vars
+    np.testing.assert_array_equal(
+        head.obsm["design_matrix"].values, dds.obsm["design_matrix"].values[:10]
+    )
+
+    # combined 2-D slice + single gene name
+    both = dds[np.arange(5), dds.var_names[2]]
+    assert both.n_obs == 5 and both.n_vars == 1
+    np.testing.assert_array_equal(both.X[:, 0], dds.X[:5, 2])
+
+    import pytest
+
+    with pytest.raises(KeyError):
+        dds[:, "not_a_gene"]

@@ -168,3 +168,97 @@ def test_bh_shared_order_matches_per_row():
         )
     )
     np.testing.assert_allclose(shared, per_row, rtol=1e-12, equal_nan=True)
+
+
+def test_bh_mid_ndim_p_falls_through_to_per_row():
+    """1 < p.ndim < mask.ndim must NOT take the shared-argsort branch.
+
+    The shared branch's jnp.take fancy-indexing would silently mis-shape a
+    2-D p against a 3-D mask; the guard routes it to the per-row path,
+    which broadcasts. Pinned against explicitly-broadcast per-row calls.
+    """
+    rng = np.random.default_rng(7)
+    B, M, G = 3, 4, 50
+    p = rng.uniform(0, 1, (M, G))  # shared across the leading B axis
+    masks = rng.uniform(0, 1, (B, M, G)) > 0.3
+
+    got = np.asarray(bh_adjust_masked(jnp.asarray(p), jnp.asarray(masks)))
+    assert got.shape == (B, M, G)
+    want = np.asarray(
+        bh_adjust_masked(
+            jnp.asarray(np.broadcast_to(p, (B, M, G)).copy()),
+            jnp.asarray(masks),
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-12, equal_nan=True)
+
+
+def test_bh_nan_inside_mask_is_isolated():
+    """A NaN p inside the mask gets NaN out without poisoning the row.
+
+    (Defensive: callers pre-mask NaNs, but a NaN reaching the
+    right-to-left cummin sweep would corrupt every other entry.)
+    """
+    p = np.array([0.01, np.nan, 0.2, 0.03, 0.5])
+    mask = np.ones(5, dtype=bool)
+
+    got = np.asarray(bh_adjust_masked(jnp.asarray(p), jnp.asarray(mask)))
+    assert np.isnan(got[1])
+    clean = np.asarray(
+        bh_adjust_masked(
+            jnp.asarray(p), jnp.asarray([True, False, True, True, True])
+        )
+    )
+    np.testing.assert_allclose(got, clean, rtol=1e-12, equal_nan=True)
+
+    # Same isolation on the per-row (2-D) path.
+    got2 = np.asarray(
+        bh_adjust_masked(
+            jnp.asarray(np.stack([p, p])), jnp.asarray(np.stack([mask, mask]))
+        )
+    )
+    np.testing.assert_allclose(got2[0], clean, rtol=1e-12, equal_nan=True)
+
+
+def test_fused_rescue_full_width_fallback_on_overflow():
+    """When > K lanes are unfinished after phase 1, the continuation falls
+    back to the full-width while_loop instead of freezing beyond-K lanes at
+    their phase-1 iterate (ADVICE r3: robustness in the >1.5%-unfinished
+    regime). With the full remaining budget every lane here converges to
+    the same solution as a single full-width IRLS, and overflow stays 0.
+    """
+    from pydeseq2_tpu.fused import _irls_with_rescue
+    from pydeseq2_tpu.ops.irls import irls_beta_init, irls_core
+
+    rng = np.random.default_rng(1)
+    N, G = 12, 1024  # K = max(512, G//64) = 512 < G
+    cond = np.repeat([0.0, 1.0], N // 2)
+    X = jnp.asarray(np.column_stack([np.ones(N), cond]))
+    sf = jnp.ones(N, jnp.float64)
+    mu = rng.lognormal(3, 1, (G, 1)) * np.exp(cond[None, :] * rng.normal(0, 1, (G, 1)))
+    disp_np = np.clip(rng.lognormal(-1, 1, G), 1e-3, 5.0)
+    counts = jnp.asarray(
+        rng.negative_binomial(
+            1 / disp_np[:, None], 1 / (1 + disp_np[:, None] * mu)
+        ).astype(float)
+    )
+    disp = jnp.asarray(disp_np)
+    bi = irls_beta_init(counts, sf, X)
+
+    # phase1_iters=1 leaves (nearly) every lane unfinished -> n_unfinished
+    # > K -> the full-width continuation branch.
+    _, unfinished_after_1, _ = irls_core(counts, sf, X, disp, bi, maxiter=1)
+    assert int(unfinished_after_1.sum()) > 512
+
+    beta, converged, overflow = _irls_with_rescue(
+        counts, sf, X, disp, bi, min_mu=0.5, beta_tol=1e-8, phase1_iters=1
+    )
+    beta_ref, needs_fb_ref, conv_ref = irls_core(
+        counts, sf, X, disp, bi, maxiter=250
+    )
+    assert int(overflow) == 0
+    assert bool(converged.all())
+    assert bool(conv_ref.all())
+    np.testing.assert_allclose(
+        np.asarray(beta), np.asarray(beta_ref), rtol=1e-6, atol=1e-8
+    )
