@@ -91,11 +91,64 @@ def fused_results_df(out: dict, contrast: np.ndarray, index) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "log2FoldChange": (lfc @ np.asarray(contrast, float)) / np.log(2),
+            "stat": np.asarray(out["statistics"], float),
             "pvalue": np.asarray(out["p_values"], float),
             "padj": np.asarray(out["padj"], float),
         },
         index=index,
     )
+
+
+def compare_alt(
+    res_df: pd.DataFrame, r_res: pd.DataFrame, alt: str, tol: float = 0.02
+) -> dict:
+    """The reference's own alt-hypothesis criterion as data.
+
+    Mirrors reference tests/test_pydeseq2.py:180-225: NaN masks equal,
+    log2FC and Wald statistic within tol (lessAbs compares |stat| — R
+    reports the min-tail statistic's magnitude), p-values within tol over
+    the genes whose statistic is non-zero (a zero statistic means the MLE
+    sits inside the [-null, null] band and the p-value is pinned to 1;
+    padj is NaN-mask-checked only, as in the reference test).
+    """
+    stat = res_df.stat.abs() if alt == "lessAbs" else res_df.stat
+    nonzero = (r_res.stat != 0) & (stat != 0)
+    out = {
+        "alt_hypothesis": alt,
+        "nan_mask_pvalue_equal": bool((res_df.pvalue.isna() == r_res.pvalue.isna()).all()),
+        "nan_mask_padj_equal": bool((res_df.padj.isna() == r_res.padj.isna()).all()),
+        "tol": tol,
+    }
+    rels = {
+        "log2FoldChange": float(
+            (abs(r_res.log2FoldChange - res_df.log2FoldChange) / abs(r_res.log2FoldChange)).max()
+        ),
+        "stat": float((abs(r_res.stat - stat) / abs(r_res.stat)).max()),
+        "pvalue_stat_nonzero": float(
+            (abs(r_res.pvalue[nonzero] - res_df.pvalue[nonzero]) / r_res.pvalue[nonzero]).max()
+        ),
+    }
+    out["max_rel_err"] = rels
+    nondeg = abs(r_res.log2FoldChange) >= 0.01
+    out["max_rel_err_log2FC_nondegenerate"] = float(
+        (
+            abs(r_res.log2FoldChange - res_df.log2FoldChange)[nondeg]
+            / abs(r_res.log2FoldChange)[nondeg]
+        ).max()
+    )
+    out["pass"] = (
+        out["nan_mask_pvalue_equal"]
+        and out["nan_mask_padj_equal"]
+        and all(v < tol for v in rels.values())
+    )
+    out["pass_excluding_degenerate_lfc"] = (
+        out["nan_mask_pvalue_equal"]
+        and out["nan_mask_padj_equal"]
+        and out["max_rel_err_log2FC_nondegenerate"] < tol
+        and rels["stat"] < tol
+        and rels["pvalue_stat_nonzero"] < tol
+    )
+    return out
 
 
 def main() -> None:
@@ -124,19 +177,20 @@ def main() -> None:
         ds.summary()
         return dds, ds
 
-    def fused(counts_df, dds, contrast_vec):
+    def fused(counts_df, dds, contrast_vec, lfc_null=0.0, **knobs):
         host = summary_host_inputs(dds.obsm["design_matrix"])
         out = summary_pipeline(
             jnp.asarray(counts_df.values.T, jnp.float32),
             jnp.asarray(dds.obsm["design_matrix"].values, jnp.float32),
             jnp.asarray(np.asarray(contrast_vec), jnp.float32),
-            jnp.asarray(0.0, jnp.float32),
+            jnp.asarray(lfc_null, jnp.float32),
             jnp.asarray(host["cooks_cutoff"], jnp.float32),
             cohort_ids=host["cohort_ids"],
             use_for_max=host["use_for_max"],
             mu_init=host["mu_init"],
             max_disp=float(max(10, counts_df.shape[0])),
             beta_tol=F32_BETA_TOL,
+            **knobs,
         )
         return fused_results_df(out, contrast_vec, counts_df.columns)
 
@@ -163,6 +217,59 @@ def main() -> None:
     )
     results["single_factor_streamed"] = compare(
         fused_results_df(streamed, cvec, counts_df.columns), r_res, 0.02
+    )
+
+    # ---- 4 alternative hypotheses with lfc_null = +/-0.5 --------------------
+    # Reference scenario: tests/test_pydeseq2.py:180-225 and
+    # pydeseq2/ds.py:223-301 (summary reruns Wald with the alt hypothesis).
+    # lfc_null is given in log2 units and converted to natural log like the
+    # reference (ds.py:301); fused and streamed f32 paths on-device.
+    for alt in ("lessAbs", "greaterAbs", "less", "greater"):
+        r_alt = pd.read_csv(
+            DATA / "single_factor" / f"r_test_res_{alt}.csv", index_col=0
+        )
+        lfc_null_log2 = -0.5 if alt == "less" else 0.5
+        lfc_null_nat = float(np.log(2) * lfc_null_log2)
+        results[f"alt_{alt}_fused"] = compare_alt(
+            fused(counts_df, dds, cvec, lfc_null=lfc_null_nat, alt_hypothesis=alt),
+            r_alt,
+            alt,
+        )
+        streamed_alt = run_summary_streamed(
+            counts_df.values.T,
+            dds.obsm["design_matrix"],
+            cvec,
+            lfc_null_nat,
+            gene_block=4,
+            alt_hypothesis=alt,
+            max_disp=float(max(10, counts_df.shape[0])),
+            beta_tol=F32_BETA_TOL,
+        )
+        results[f"alt_{alt}_streamed"] = compare_alt(
+            fused_results_df(streamed_alt, cvec, counts_df.columns), r_alt, alt
+        )
+
+    # ---- no independent filtering (plain BH) --------------------------------
+    # Reference scenario: tests/test_pydeseq2.py:139-177 with
+    # independent_filter=False (pydeseq2/ds.py:273-278 plain-BH branch).
+    r_nif = pd.read_csv(
+        DATA / "single_factor" / "r_test_res_no_independent_filtering.csv",
+        index_col=0,
+    )
+    results["no_indep_filter_fused"] = compare(
+        fused(counts_df, dds, cvec, independent_filter=False), r_nif, 0.02
+    )
+    streamed_nif = run_summary_streamed(
+        counts_df.values.T,
+        dds.obsm["design_matrix"],
+        cvec,
+        gene_block=4,
+        independent_filter=False,
+        max_disp=float(max(10, counts_df.shape[0])),
+        beta_tol=F32_BETA_TOL,
+    )
+    results["no_indep_filter_streamed"] = compare(
+        fused_results_df(streamed_nif, cvec, counts_df.columns), r_nif, 0.02
     )
 
     # ---- multifactor --------------------------------------------------------
@@ -219,6 +326,23 @@ def main() -> None:
     )
     row["refitted_genes"] = int(np.asarray(streamed["refitted"]).sum())
     results["multifactor_outliers_streamed"] = row
+
+    # ---- run_deseq2 one-call API, reference-default refit_cooks=True --------
+    # The flagship entry point on its default path (Cook's replacement +
+    # refit, reference pydeseq2/dds.py:221) against the same outlier golden.
+    from pydeseq2_tpu import run_deseq2
+
+    api_res, api_state = run_deseq2(
+        counts_out,
+        meta_out,
+        "~group + condition",
+        contrast=["condition", "B", "A"],
+        beta_tol=F32_BETA_TOL,
+        return_state=True,
+    )
+    row = compare(api_res, r_out, 0.04)
+    row["refitted_genes"] = int(np.asarray(api_state["refitted"]).sum())
+    results["api_refit_outliers"] = row
 
     # ---- continuous covariate ----------------------------------------------
     counts_df = pd.read_csv(DATA / "continuous" / "test_counts.csv", index_col=0).T

@@ -43,6 +43,7 @@ from pydeseq2_tpu.ops.linreg import (
     fit_moments_dispersions_batch,
     fit_rough_dispersions_batch,
 )
+from pydeseq2_tpu.ops.select import masked_median_select
 from pydeseq2_tpu.ops.trend import gamma_glm_trend_fit
 from pydeseq2_tpu.ops.wald import wald_test_batch
 
@@ -304,8 +305,10 @@ def _size_factors(
     log_counts = jnp.log(counts)  # -inf where zero
     logmeans = log_counts.mean(axis=1)  # (G,)
     filtered = ~jnp.isinf(logmeans) & gene_mask
-    log_ratios = jnp.where(filtered[:, None], log_counts - logmeans[:, None], jnp.nan)
-    log_medians = jnp.nanmedian(log_ratios, axis=0)  # (N,)
+    log_ratios = jnp.where(filtered[:, None], log_counts - logmeans[:, None], jnp.inf)
+    # Exact sort-free medians (ops/select.py): same order statistics as a
+    # per-sample sort at a fraction of the cost when N is large.
+    log_medians = masked_median_select(log_ratios, filtered.sum(), axis=0)  # (N,)
     sf = jnp.exp(log_medians)
     return sf, filtered
 

@@ -49,6 +49,7 @@ from pydeseq2_tpu.fused import (
 from pydeseq2_tpu.ops import stats as stats_ops
 from pydeseq2_tpu.ops.dispersion import alpha_mle_batch
 from pydeseq2_tpu.ops.irls import hat_diagonals, irls_beta_init
+from pydeseq2_tpu.ops.select import masked_median_select
 from pydeseq2_tpu.ops.linreg import (
     fit_moments_dispersions_batch,
     fit_rough_dispersions_batch,
@@ -65,12 +66,13 @@ def _streamed_size_factors(
     logmeans: jnp.ndarray,
     sample_block: int | None = None,
 ) -> jnp.ndarray:
-    """Median-of-ratios size factors via per-sample sorts, sample-blocked.
+    """Median-of-ratios size factors, sample-blocked, sort-free.
 
     The per-sample median runs over the *same* filtered gene set for every
     sample, so the two middle order statistics sit at fixed ranks: push
-    excluded genes to +inf, sort each sample's column, gather ranks
-    (m-1)//2 and m//2. With ``sample_block=None`` the whole (G, N) ratio
+    excluded genes to +inf and resolve ranks (m-1)//2 and m//2 with the
+    exact radix-bisection selector (ops/select.py) instead of a per-column
+    sort. With ``sample_block=None`` the whole (G, N) ratio
     matrix is formed and sorted at once — fine up to ~1k samples x 60k genes
     — but at the 10k-sample atlas scale the ratio matrix + sort scratch is
     several extra full-size (G, N) buffers (~10 GB) and crashes a 16 GB
@@ -83,15 +85,16 @@ def _streamed_size_factors(
     """
     filtered = ~jnp.isinf(logmeans) & gene_mask
     m = filtered.sum()
-    k_lo = jnp.maximum((m - 1) // 2, 0)
-    k_hi = m // 2
 
     def med_of_cols(cols):
         ratios = jnp.where(
             filtered[:, None], jnp.log(cols) - logmeans[:, None], jnp.inf
         )
-        ranked = jnp.sort(ratios, axis=0)
-        return (jnp.take(ranked, k_lo, axis=0) + jnp.take(ranked, k_hi, axis=0)) / 2.0
+        # Exact sort-free median: the radix bisection returns the same two
+        # middle order statistics a per-column sort would (ops/select.py) at
+        # ~1/8 the cost when columns are many (the 55 ms -> ~6 ms stage at
+        # 1000 x 30k).
+        return masked_median_select(ratios, m, axis=0)
 
     G, N = counts.shape
     if sample_block is None or sample_block >= N:
@@ -121,8 +124,9 @@ def _streamed_poscounts_size_factors(
     Unlike the ratio estimator, the per-sample median here is RAGGED: each
     sample's median runs over the genes that are usable AND positive in
     that sample (reference pydeseq2/dds.py:668-676). Excluded entries are
-    pushed to +inf, each column is sorted once, and the two middle order
-    statistics are gathered at per-sample valid-count midpoints. Size
+    pushed to +inf and the two middle order statistics at the per-sample
+    valid-count midpoints are resolved by the exact sort-free selector
+    (ops/select.py). Size
     factors are rescaled to geometric mean 1. Same blocking scheme as
     :func:`_streamed_size_factors` (clamped final block).
     """
@@ -135,15 +139,9 @@ def _streamed_poscounts_size_factors(
             jnp.log(jnp.where(cols > 0, cols, 1.0)) - logmeans[:, None],
             jnp.inf,
         )
-        ranked = jnp.sort(ratios, axis=0)
-        nv = in_med.sum(axis=0)
-        lo = jnp.clip((nv - 1) // 2, 0)
-        hi = nv // 2
-        med = (
-            jnp.take_along_axis(ranked, lo[None, :], axis=0)
-            + jnp.take_along_axis(ranked, hi[None, :], axis=0)
-        )[0] / 2.0
-        return jnp.where(nv > 0, med, jnp.nan)
+        # Ragged per-column ranks resolve in the same sort-free bisection
+        # (ops/select.py): exact order statistics, no (G, block) sort.
+        return masked_median_select(ratios, in_med.sum(axis=0), axis=0)
 
     if sample_block is None or sample_block >= N:
         med = med_of_cols(counts)

@@ -12,6 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
+from pydeseq2_tpu.ops.select import masked_median_select
+
 
 def deseq2_norm(counts):
     """Return normalized counts and size factors (median-of-ratios).
@@ -60,12 +62,12 @@ def poscounts_size_factors(counts, logmeans, gene_mask):
     For each sample, the size factor is exp(median of log-ratios
     ``log x_g - logmean_g``) over the genes that are both in ``gene_mask``
     and positive in that sample — a *ragged* per-sample median. It is
-    computed densely: excluded entries are pushed to +inf, each row is
-    sorted once, and the median is gathered at the per-row valid-count
-    midpoints. Size factors are then rescaled to geometric mean 1
-    (reference pydeseq2/dds.py:668-679 runs this as a Python loop via
-    ``np.apply_along_axis``; here it is a single (N, G) sort + gather so it
-    stays on device at any sample count).
+    computed densely: excluded entries are pushed to +inf and the median is
+    selected at the per-row valid-count midpoints by the exact sort-free
+    radix bisection (ops/select.py). Size factors are then rescaled to
+    geometric mean 1 (reference pydeseq2/dds.py:668-679 runs this as a
+    Python loop via ``np.apply_along_axis``; here it is one batched device
+    reduction at any sample count).
     """
     values = counts.to_numpy() if isinstance(counts, pd.DataFrame) else counts
     x = jnp.asarray(values, dtype=jnp.result_type(float))
@@ -78,15 +80,7 @@ def poscounts_size_factors(counts, logmeans, gene_mask):
         jnp.log(jnp.where(x > 0, x, 1.0)) - logmeans[None, :],
         jnp.inf,
     )
-    ranked = jnp.sort(ratios, axis=1)
-    n_valid = in_median.sum(axis=1)
-    lo = jnp.clip((n_valid - 1) // 2, 0)
-    hi = jnp.clip(n_valid // 2, 0)
-    med = (
-        jnp.take_along_axis(ranked, lo[:, None], axis=1)
-        + jnp.take_along_axis(ranked, hi[:, None], axis=1)
-    )[:, 0] / 2.0
-    med = jnp.where(n_valid > 0, med, jnp.nan)
+    med = masked_median_select(ratios, in_median.sum(axis=1), axis=1)
     sf = jnp.exp(med)
     sf = sf / jnp.exp(jnp.mean(jnp.log(sf)))
     return np.asarray(sf)
@@ -105,7 +99,9 @@ def deseq2_norm_transform(counts, logmeans, filtered_genes):
     logmeans = jnp.asarray(logmeans)
     mask = np.asarray(filtered_genes)
     log_ratios = jnp.log(x[:, mask]) - logmeans[mask][None, :]
-    log_medians = jnp.median(log_ratios, axis=1)
+    log_medians = masked_median_select(
+        log_ratios, log_ratios.shape[1], axis=1
+    )
     size_factors = jnp.exp(log_medians)
     normed = x / size_factors[:, None]
     if is_df:

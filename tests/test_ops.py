@@ -262,3 +262,44 @@ def test_fused_rescue_full_width_fallback_on_overflow():
     np.testing.assert_allclose(
         np.asarray(beta), np.asarray(beta_ref), rtol=1e-6, atol=1e-8
     )
+
+
+def test_order_stats_select_bit_identical_to_sort():
+    """Radix-bisection order statistics == sort-gather, bit for bit.
+
+    The size-factor medians (ops/select.py) replace per-sample sorts; the
+    selector must return the exact element a sort would — ties, +inf
+    exclusion markers and ragged per-column ranks included — in both
+    dtypes (f32 TPU path, f64 CPU golden path).
+    """
+    from pydeseq2_tpu.ops.select import masked_median_select, order_stats_select
+
+    rng = np.random.default_rng(3)
+    for dtype in (np.float32, np.float64):
+        G, N = 513, 11
+        x = rng.normal(0, 3, (G, N)).astype(dtype)
+        tie_mask = rng.uniform(size=(G, N)) < 0.3
+        x[tie_mask] = np.round(rng.normal(0, 1), 1)  # heavy exact ties
+        valid = rng.uniform(size=(G, N)) < 0.8
+        xv = np.where(valid, x, np.inf).astype(dtype)
+        nv = valid.sum(0)
+
+        med = np.asarray(masked_median_select(jnp.asarray(xv), jnp.asarray(nv)))
+        s = np.sort(xv, axis=0)
+        cols = np.arange(N)
+        want = (s[(nv - 1) // 2, cols] + s[nv // 2, cols]) / 2.0
+        np.testing.assert_array_equal(med, want)
+
+        lo, hi = order_stats_select(
+            jnp.asarray(xv), (jnp.asarray(np.full(N, 3)), jnp.asarray(nv - 1))
+        )
+        np.testing.assert_array_equal(np.asarray(lo), s[3, cols])
+        np.testing.assert_array_equal(np.asarray(hi), s[nv - 1, cols])
+
+    # empty columns give NaN
+    m = np.asarray(
+        masked_median_select(
+            jnp.asarray(np.full((5, 2), np.inf)), jnp.asarray([0, 0])
+        )
+    )
+    assert np.isnan(m).all()
