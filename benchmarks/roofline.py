@@ -15,8 +15,9 @@ wall. This version measures:
    (IRLS ``lax.while_loop``, trend exclusion ``lax.while_loop``) are rerun
    standalone on the *same inputs* the fused program produces, with
    ``return_iters``/``return_rounds`` instrumentation. Dispersion solves are
-   static-trip by design (48-point coarse scan + 8 fine + 4 Newton; the MAP
-   fit reuses the coarse cache: 8 + 4).
+   static-trip by design (defaults from ops/dispersion.py: 40-point coarse
+   scan + 4-step Newton-only polish; the MAP fit reuses the coarse cache:
+   0 + 4).
 
 3. **Trip-corrected stage rooflines** — XLA's cost model counts a while
    body once; multiplying a loop stage's marginal flops/bytes by its
@@ -57,7 +58,9 @@ V5E_HBM_BYTES_PER_S = 819e9
 # stats layer) that forces computation up to and including the stage.
 STAGES = [
     ("size_factors", "size_factors"),
-    ("genewise_disp", "genewise_dispersions"),  # MoM + mu init + grid/Newton
+    ("mom_disp", "_mom"),
+    ("mu_init", "_mu_hat"),
+    ("genewise_disp", "genewise_dispersions"),  # grid scan + Newton polish
     ("trend", "fitted_dispersions"),
     ("prior", "prior_disp_var"),
     ("map_disp", "dispersions"),
@@ -200,8 +203,8 @@ def main() -> None:
     trips = {
         "irls_while_loop": n_irls,
         "trend_exclusion_rounds": n_trend,
-        "genewise_disp_static": {"coarse_scan": 48, "fine_scan": 8, "newton": 4},
-        "map_disp_static": {"coarse_scan": 0, "fine_scan": 8, "newton": 4},
+        "genewise_disp_static": {"coarse_scan": 40, "fine_scan": 0, "newton": 4},
+        "map_disp_static": {"coarse_scan": 0, "fine_scan": 0, "newton": 4},
         "note": "irls trips = slowest lane (every trip processes all G "
         "lanes). The genewise stage also contains the static-trip grid "
         "scans; mu_init == 'irls' configs would add a second IRLS loop "
@@ -215,7 +218,7 @@ def main() -> None:
     # traffic — still the right scale for bound classification.
     per_stage_roofline = {}
     # lax.scan lowers to an HLO while too, so the static-trip grid scans are
-    # equally undercounted: genewise = 48 coarse + 8 fine + 4 Newton body
+    # equally undercounted: genewise = 40 coarse + 4 Newton body
     # evaluations of the (G, N) objective, MAP = 8 + 4 (coarse cache reused).
     trip_mult = {
         "irls_lfc": n_irls,

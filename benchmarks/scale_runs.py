@@ -25,12 +25,13 @@ Usage:
         python benchmarks/scale_runs.py
     SCALE_BLOCK=4096 SCALE_REPS=3 python benchmarks/scale_runs.py
 
-The reference baseline (BASELINE_MEASURED.json) only has 100x60000 — the CPU
-backend at the two larger configs would need hours — so vs_baseline for
-summary mode at those is extrapolated per-gene-sample work (documented in
-SCALE.json as "baseline_extrapolated": true, slope validated by the measured
-1000x10000 anchor row). The refit/shrink/vst modes have no measured CPU
-stage baseline and carry no vs_baseline.
+Reference baselines (BASELINE_MEASURED.json) are measured at 6 anchors up
+to 100x60000 (genes) and 10000x2000 (samples); configs without a direct
+anchor get vs_baseline from a nonneg-LS cost model fitted over ALL anchors
+(wall = c0 + c1*G + c2*N + c3*N*G, in-sample +/-7% at the 4 heaviest
+anchors — labeled "baseline_extrapolated": true in SCALE.json). The
+refit/shrink/vst modes have no measured CPU stage baseline and carry no
+vs_baseline.
 """
 
 from __future__ import annotations
@@ -111,17 +112,30 @@ def main() -> None:
     # showed that overstates the reference cost ~4x at 1k samples. Fit
     # per-gene(N) = a + b*N through the two measured large-G anchors
     # (100x60000, 1000x10000); the held-out 200x30000 lands within 6%.
-    anchors = [k for k in ("100x60000", "1000x10000") if k in baseline]
+    # Round 4: with the measured 10000x2000 anchor the model upgrades to a
+    # non-negative least-squares fit of wall = c0 + c1*G + c2*N + c3*N*G
+    # over ALL measured anchors (6 as of r4). In-sample error is within
+    # +/-7% at the four heaviest anchors (100x60000 -0.9%, 10000x2000
+    # +1.5%, 1000x10000 -6.6%, 200x30000 +7.1%); the previous two-anchor
+    # per-gene-affine model overstated the reference 25-40% at high N.
     pg_model = None
-    if len(anchors) == 2:
-        pts = []
-        for k in anchors:
+    anchor_keys = sorted(baseline)
+    if len(anchor_keys) >= 4:
+        A, y = [], []
+        for k in anchor_keys:
             n, g = (int(v) for v in k.split("x"))
-            pts.append((n, baseline[k]["wall_s"] / g))  # s per gene
-        (n1, c1), (n2, c2) = pts
-        b = (c2 - c1) / (n2 - n1)
-        a = c1 - b * n1
-        pg_model = (a, b)
+            A.append([1.0, g, n, n * g])
+            y.append(baseline[k]["wall_s"])
+        from scipy.optimize import nnls
+
+        coef, _ = nnls(np.asarray(A), np.asarray(y))
+        pg_model = coef
+        baseline_model_desc = (
+            "nonneg LS of wall = c0 + c1*G + c2*N + c3*N*G on "
+            f"{len(anchor_keys)} measured reference anchors "
+            f"({', '.join(anchor_keys)}); in-sample +/-7% at the 4 "
+            "heaviest anchors"
+        )
 
     device = str(jax.devices()[0])
 
@@ -215,14 +229,15 @@ def main() -> None:
                     entry["vs_baseline"] = round(baseline[cfg]["wall_s"] / best, 1)
                     entry["baseline_extrapolated"] = False
                 elif pg_model is not None:
-                    a, b = pg_model
-                    pred = (a + b * n_samples) * n_genes
+                    pred = float(
+                        pg_model
+                        @ np.asarray(
+                            [1.0, n_genes, n_samples, n_samples * n_genes]
+                        )
+                    )
                     entry["vs_baseline"] = round(pred / best, 1)
                     entry["baseline_extrapolated"] = True
-                    entry["baseline_model"] = (
-                        "per-gene affine in N, fitted to measured "
-                        "100x60000 + 1000x10000 anchors"
-                    )
+                    entry["baseline_model"] = baseline_model_desc
 
             elif mode == "refit":
                 # The reference-DEFAULT pipeline: Cook's replacement + refit.

@@ -124,6 +124,78 @@ def main() -> None:
         }
         out_path.write_text(json.dumps(artifact, indent=2) + "\n")
 
+    # ---- streamed summary + Cook's refit over the mesh (VERDICT r3 #5) ----
+    # The reference-DEFAULT pipeline (replacement + refit,
+    # pydeseq2/dds.py:1042-1064) through run_summary_streamed with injected
+    # outliers, so the compacted refit tile is real work under SPMD.
+    from pydeseq2_tpu.fused_stream import run_summary_streamed
+
+    refit_cfgs = [
+        c for c in os.environ.get("SCALING_REFIT_CONFIGS", "1000x20000").split(",")
+        if c.strip()
+    ]
+    for cfg in refit_cfgs:
+        N, G = (int(v) for v in cfg.strip().split("x"))
+        counts_np, design_np = make_data(N, G)
+        counts_gm = counts_np.T.copy()
+        rng = np.random.default_rng(11)
+        lanes = rng.choice(G, max(8, G // 1000), replace=False)
+        counts_gm[lanes, 1] = 1e6  # Cook's outliers spread over shards
+        contrast_np = np.eye(design_np.shape[1])[-1]
+
+        results = {}
+        reference_pv = None
+        for n_dev in meshes:
+            mesh = make_gene_mesh(n_dev)
+            counts = shard_gene_major(jnp.asarray(counts_gm, jnp.float32), mesh)
+
+            def run():
+                res = run_summary_streamed(
+                    counts,
+                    design_np.astype(np.float32),
+                    contrast_np,
+                    refit_cooks=True,
+                    dtype=np.float32,
+                    max_disp=float(max(10, N)),
+                    beta_tol=1e-6,
+                )
+                return res
+
+            t0 = time.perf_counter()
+            res = run()
+            compile_s = time.perf_counter() - t0
+            times = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                res = run()
+                times.append(time.perf_counter() - t0)
+            best = min(times)
+            pv = np.asarray(res["p_values"])
+            if reference_pv is None:
+                reference_pv = pv
+                max_dev = 0.0
+            else:
+                a, b = np.nan_to_num(pv), np.nan_to_num(reference_pv)
+                max_dev = float(np.max(np.abs(a - b)))
+            entry = {
+                "wall_s": round(best, 3),
+                "genes_per_s": round(G / best, 1),
+                "compile_s": round(compile_s, 1),
+                "replaced": int(res["replaced"].sum()),
+                "refitted": int(res["refitted"].sum()),
+                "max_abs_pvalue_dev_vs_1dev": max_dev,
+            }
+            results[str(n_dev)] = entry
+            print(json.dumps({cfg: {f"{n_dev}_devices_refit": entry}}), flush=True)
+
+        artifact["configs"][cfg + "_refit"] = {
+            "program": "run_summary_streamed(refit_cooks=True) f32, "
+            "gene-sharded, injected outliers (full host-wrapper wall incl. "
+            "refit tile + merge)",
+            "results": results,
+        }
+        out_path.write_text(json.dumps(artifact, indent=2) + "\n")
+
     print(f"wrote {out_path}", file=sys.stderr)
 
 

@@ -384,7 +384,7 @@ def main() -> None:
         for v in results.values()
         if isinstance(v, dict) and "pass" in v
     )
-    out_path = ROOT / "TPU_CONFORMANCE.json"
+    out_path = Path(os.environ.get("TPU_CONF_OUT", str(ROOT / "TPU_CONFORMANCE.json")))
     out_path.write_text(json.dumps(results, indent=2) + "\n")
     print(json.dumps(results, indent=2))
     print(f"wrote {out_path}", file=sys.stderr)

@@ -9,9 +9,14 @@ scipy optimizer + fallback cascade we run, for EVERY gene at once:
 
   1. a coarse scan of the objective over ``grid_length`` points spanning
      [log(min_disp), log(max_disp)] (lax.scan, one (G,N) tile per step),
-  2. a fine scan of the same length centered on each gene's coarse argmin,
+  2. (optionally, ``fine_length > 0``) a fine scan centered on each gene's
+     coarse argmin,
   3. a few safeguarded Newton steps (autodiff gradient/curvature of the
-     masked objective) to polish to machine-precision optimum.
+     masked objective, step-clipped to the coarse spacing) to polish to
+     machine-precision optimum — by default Newton starts directly at the
+     coarse argmin (fine_length=0): the per-lane fine evals run the
+     dual-branch objective (~5x a static coarse step on TPU) and the
+     polish recovers the identical optimum (validated on the goldens).
 
 This is deterministic, has no per-gene control flow, and subsumes both the
 optimizer and the grid fallback of the reference (the grid *is* the primary
@@ -80,8 +85,8 @@ def alpha_mle_batch(
     prior_disp_var: float | None = None,
     cr_reg: bool = True,
     prior_reg: bool = False,
-    grid_length: int = 48,
-    fine_length: int = 8,
+    grid_length: int = 40,
+    fine_length: int = 0,
     newton_iters: int = 4,
     return_coarse: bool = False,
     coarse_cache: jnp.ndarray | None = None,
@@ -116,6 +121,12 @@ def alpha_mle_batch(
     """
     import math
 
+    # Materialize the operands once: without the barrier XLA is free to
+    # rematerialize a computed `mu` (e.g. the OLS mu-init chain) into every
+    # consumer inside the scan/Newton bodies of this solver — measured as a
+    # ~3x inflation of the in-program dispersion stage vs the same solver on
+    # parameter inputs. An optimization_barrier is the identity.
+    counts, mu = jax.lax.optimization_barrier((counts, mu))
     dtype = mu.dtype
     lo_f = math.log(min_disp)
     hi_f = math.log(max_disp)
@@ -140,8 +151,19 @@ def alpha_mle_batch(
     # spacing), so the fine pass only needs to hand Newton a descent-feasible
     # start; 8 points matches the 32-point scan to <1e-7 relative on the
     # golden fixtures while cutting the second-biggest block of objective
-    # evaluations in the dispersion stage.
-    step2_f = 2.0 * step1_f / (fine_length - 1)
+    # evaluations in the dispersion stage. ``fine_length=0`` skips the fine
+    # scan entirely and starts Newton at the coarse argmin (error <=
+    # step1/2): per-lane fine evals run the dual-branch objective + its
+    # transcendentals and are ~5x a static coarse step on TPU (measured),
+    # while the safeguarded Newton recovers the same optimum from the
+    # coarse cell — validated against the 8-point path on the goldens.
+    # step2 is the zero-curvature move / plateau-decrement scale: with the
+    # fine scan on it is the fine-grid spacing; with fine_length=0 keep the
+    # same effective resolution (step1/3.5, the 8-point fine spacing) so
+    # the plateau-lane convergence diagnostic |g|*step2 is not 4x more
+    # pessimistic than the fine-scan path's (the alpha itself is identical;
+    # only the reported flag was affected).
+    step2_f = step1_f / 3.5 if fine_length == 0 else 2.0 * step1_f / (fine_length - 1)
 
     coarse_vals = None
 
@@ -247,27 +269,41 @@ def alpha_mle_batch(
                 ) ** 2 / (2.0 * pdv)
             else:
                 coarse_vals = coarse_emitted
-    f2, la2 = scan_grid(la1, step1_f, fine_length)
+    if fine_length == 0:
+        la2 = la1
+        f2 = obj(la1)
+    else:
+        f2, la2 = scan_grid(la1, step1_f, fine_length)
     step2 = jnp.asarray(step2_f, dtype)  # fine-grid spacing bounds the polish step
 
     # 3) Newton polish with step clipping + objective safeguard
     sum_obj = lambda la: obj(la).sum()
     grad = jax.grad(sum_obj)
-    curv = jax.grad(lambda la: grad(la).sum())  # diag of Hessian (lanes indep.)
+    # Diagonal curvature via forward-over-reverse (lanes independent, so
+    # H @ 1 is the diagonal); jvp shares the gradient's forward pass, so one
+    # call yields BOTH g and h — measurably cheaper than a separate
+    # grad-of-grad evaluation per Newton step.
+    grad_and_curv = lambda la: jax.jvp(grad, (la,), (jnp.ones_like(la),))
 
     # Clip Newton steps to the COARSE spacing: wide enough to recover when
     # the (approximate, f32) grid scan lands a few fine cells off, narrow
     # enough not to jump basins (acceptance still requires descent).
     clipw = jnp.asarray(step1_f, dtype)
 
+    def obj_and_grad(la):
+        # Per-lane objective AND its gradient from one forward pass (vjp
+        # with a ones cotangent — lanes are independent).
+        f, vjp_fn = jax.vjp(obj, la)
+        (g,) = vjp_fn(jnp.ones_like(f))
+        return f, g
+
     def newton_body(i, state):
         la, f_best, g = state
-        h = curv(la)
+        _, h = grad_and_curv(la)
         raw = jnp.where(h > 0, g / h, jnp.sign(g) * step2)
         step = jnp.clip(raw, -clipw, clipw)
         cand = jnp.clip(la - step, lo, hi)
-        f_cand = obj(cand)
-        g_cand = grad(cand)
+        f_cand, g_cand = obj_and_grad(cand)
         # Near the optimum the objective difference is below the f32 noise
         # floor while the GRADIENT still carries signal: a strict descent
         # gate there freezes lanes at fine-grid resolution (~step2 error in
@@ -308,8 +344,7 @@ def alpha_mle_batch(
     # pinned at min/max_disp report converged like the reference's bounded
     # L-BFGS-B does (parity: per-gene ``res.success``, reference
     # pydeseq2/utils.py:554-564).
-    g_fin = grad(la_fit)
-    h_fin = curv(la_fit)
+    g_fin, h_fin = grad_and_curv(la_fit)
     at_lo = la_fit <= lo
     at_hi = la_fit >= hi
     pg = jnp.where(at_lo & (g_fin > 0), 0.0, g_fin)

@@ -28,6 +28,47 @@ from jax.scipy.special import gammaln
 
 _R_SWITCH = 8.0  # Stirling-difference form is used for r = 1/alpha >= 8
 
+_HALF_LOG_2PI = 0.9189385332046727
+
+
+def _lgamma_stirling8(z: jnp.ndarray) -> jnp.ndarray:
+    """log Gamma(z) for z > 0 via an 8-step shift + Stirling series.
+
+    gammaln(z) = gammaln(z + 8) - log(prod_{k=0}^{7} (z + k)), with
+    gammaln(z + 8) from the Stirling series at w = z + 8 >= 8 (Bernoulli
+    terms through 1/w^5; remainder ~3e-10 absolute at w = 8, far below f32
+    rounding). The product is split in two so it cannot overflow f32 for
+    counts up to ~1e7. Why not the library gammaln: its BACKWARD is a
+    digamma evaluation — on the dispersion solver's Newton path that
+    transcendental (both in the forward objective and through autodiff)
+    dominated the stage wall; this form's forward is 3 logs and its
+    autodiff backward is divides only. f32-only (the f64 CPU golden path
+    keeps the library call bit-for-bit).
+    """
+    p1 = z * (z + 1.0) * (z + 2.0) * (z + 3.0)
+    p2 = (z + 4.0) * (z + 5.0) * (z + 6.0) * (z + 7.0)
+    w = z + 8.0
+    iw = 1.0 / w
+    iw2 = iw * iw
+    series = iw * (
+        (1.0 / 12.0) - iw2 * ((1.0 / 360.0) - iw2 * (1.0 / 1260.0))
+    )
+    return (
+        (w - 0.5) * jnp.log(w)
+        - w
+        + _HALF_LOG_2PI
+        + series
+        - jnp.log(p1)
+        - jnp.log(p2)
+    )
+
+
+def _lgamma_fast(z: jnp.ndarray) -> jnp.ndarray:
+    """Dtype-gated gammaln: Stirling-shift form in f32, library in f64."""
+    if z.dtype == jnp.float32:
+        return _lgamma_stirling8(z)
+    return gammaln(z)
+
 
 def nb_nll(counts: jnp.ndarray, mu: jnp.ndarray, alpha) -> jnp.ndarray:
     r"""Batched negative log-likelihood of NB(``mu``, ``alpha``).
@@ -124,9 +165,13 @@ def nb_nll_centered(
     def plain_branch():
         # r < 8: plain minus Poisson (moderate magnitudes, mild
         # cancellation; y log mu and lgamma(y+1) cancel analytically).
+        # gammaln(counts + r) is the (G, N) transcendental on the Newton
+        # hot path — _lgamma_fast swaps in the Stirling-shift form in f32
+        # (cheap forward, divide-only backward); gammaln(r) is (G, 1) and
+        # keeps the library call.
         return (
             -r * jnp.log(r)
-            - gammaln(counts + r)
+            - _lgamma_fast(counts + r)
             + gammaln(r)
             + (counts + r) * jnp.log(mu + r)
             - mu

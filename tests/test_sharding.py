@@ -240,3 +240,51 @@ def test_streamed_pipeline_sharded(mesh):
         np.asarray(out_sh["lfc"]), np.asarray(out["lfc"]), rtol=1e-5,
         equal_nan=True,
     )
+
+
+def test_streamed_refit_sharded_at_scale_matches_unsharded(mesh):
+    """Streamed summary + Cook's refit over the 8-device mesh at a size
+    where blocks and refit compaction are non-trivial: G=32768 genes in
+    gene_block=4096 tiles with injected outliers spread across shards, so
+    the compacted refit tile is REAL (replacement + re-fit actually run).
+    The sharded run must reproduce the single-device run (reference
+    semantics: pydeseq2/dds.py:1042-1064,1301-1458).
+    """
+    from pydeseq2_tpu.fused_stream import run_summary_streamed
+
+    rng = np.random.default_rng(7)
+    G, N = 32768, 16
+    cond = np.repeat([0.0, 1.0], N // 2)  # two 8-replicate cohorts (>= 7)
+    X = np.column_stack([np.ones(N), cond])
+    mu = np.exp(rng.normal(3, 1, (G, 1))) * np.exp(cond[None, :] * rng.normal(0, 0.5, (G, 1)))
+    disp = np.clip(rng.lognormal(-2, 1, (G, 1)), 1e-3, 2.0)
+    counts = rng.negative_binomial(1 / disp, 1 / (1 + disp * mu)).astype(float)
+    counts[0, :] = 0  # all-zero lane
+    # inject Cook's outliers in lanes spread across all 8 shards
+    outlier_lanes = np.arange(16) * (G // 16) + 5
+    counts[outlier_lanes, 3] = 1e6
+
+    args = dict(
+        gene_block=4096,
+        refit_cooks=True,
+        max_disp=float(max(10, N)),
+    )
+    base = run_summary_streamed(counts, X, [0.0, 1.0], **args)
+    assert base["replaced"].sum() >= len(outlier_lanes)
+    assert base["refitted"].sum() > 0
+
+    gene_sh = NamedSharding(mesh, P("genes", None))
+    counts_sh = jax.device_put(jnp.asarray(counts), gene_sh)
+    shard = run_summary_streamed(counts_sh, X, [0.0, 1.0], **args)
+
+    np.testing.assert_array_equal(shard["replaced"], base["replaced"])
+    np.testing.assert_array_equal(shard["refitted"], base["refitted"])
+    for key in ("p_values", "padj", "dispersions", "se", "base_mean"):
+        np.testing.assert_allclose(
+            np.asarray(shard[key]), np.asarray(base[key]), rtol=1e-12,
+            atol=0, equal_nan=True, err_msg=key,
+        )
+    np.testing.assert_allclose(
+        np.asarray(shard["lfc"]), np.asarray(base["lfc"]), rtol=1e-12,
+        equal_nan=True,
+    )
