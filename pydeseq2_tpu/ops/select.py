@@ -57,7 +57,10 @@ def _key_to_float(key: jnp.ndarray, dtype) -> jnp.ndarray:
 
 
 def order_stats_select(
-    x: jnp.ndarray, ranks: tuple[jnp.ndarray, ...], axis: int = 0
+    x: jnp.ndarray,
+    ranks: tuple[jnp.ndarray, ...],
+    axis: int = 0,
+    bits_per_pass: int | None = None,
 ) -> tuple[jnp.ndarray, ...]:
     """Exact k-th smallest elements of ``x`` along ``axis``, one per rank.
 
@@ -71,6 +74,13 @@ def order_stats_select(
         are resolved in the SAME bisection loop — a second rank adds one
         compare per pass, not a pass.
     axis : axis to select along.
+    bits_per_pass : radix width per pass. A pass resolves this many key
+        bits with ``2^w - 1`` nested compares; passes = ceil(bits / w).
+        None = auto: 4 when the operand is small enough that the loop is
+        latency-bound (each pass is a sequential dependent step — at
+        60k x 100 the 1-bit loop's 32 steps cost ~0.7 ms of latency each
+        while the data is only 24 MB), else 1 (large operands are
+        compute/bandwidth-bound, where fewer compares win).
 
     Returns
     -------
@@ -81,22 +91,37 @@ def order_stats_select(
     keys = _monotone_key(x)
     if axis != 0:
         keys = jnp.moveaxis(keys, axis, 0)
+    # Materialize the keys once: without the barrier XLA rematerializes the
+    # whole key-derivation chain (log-ratios, masking, bitcast) into EVERY
+    # bisection pass when this runs inside a larger program (measured: the
+    # in-program size-factor stage cost ~10x the standalone selector).
+    keys = jax.lax.optimization_barrier(keys)
+    if bits_per_pass is None:
+        bits_per_pass = 4 if keys.size <= (1 << 24) else 1
+    w = bits_per_pass
+    if bits % w != 0:
+        raise ValueError(f"bits_per_pass={w} must divide the key width {bits}")
+    n_passes = bits // w
     red_shape = keys.shape[1:]
     ks = [jnp.broadcast_to(jnp.asarray(k, jnp.int32), red_shape) for k in ranks]
     init = tuple(jnp.zeros(red_shape, uint_t) for _ in ks)
 
     def body(i, Ts):
-        b = bits - 1 - i
-        bit = jnp.asarray(1, uint_t) << b
+        # Resolve key bits [b, b+w) this pass (MSB-first).
+        b = bits - (i + 1) * w
         out = []
         for T, k in zip(Ts, ks):
-            cand = T | bit
-            # elements strictly below the candidate prefix
-            cnt = jnp.sum(keys < cand[None], axis=0, dtype=jnp.int32)
-            out.append(jnp.where(cnt <= k, cand, T))
+            best = T
+            for q in range(1, 1 << w):
+                cand = T | (jnp.asarray(q, uint_t) << b)
+                # elements strictly below the candidate prefix; counts are
+                # monotone in q, so the largest feasible q wins.
+                cnt = jnp.sum(keys < cand[None], axis=0, dtype=jnp.int32)
+                best = jnp.where(cnt <= k, cand, best)
+            out.append(best)
         return tuple(out)
 
-    Ts = jax.lax.fori_loop(0, bits, body, init)
+    Ts = jax.lax.fori_loop(0, n_passes, body, init)
     return tuple(_key_to_float(T, x.dtype) for T in Ts)
 
 
