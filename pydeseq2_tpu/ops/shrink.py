@@ -152,29 +152,61 @@ def nbinom_glm_batch(
             / cnst
         )
 
-    def body(i, state):
-        beta, f_val = state
+    # The outer Newton loop is a convergence-driven while_loop: a lane
+    # freezes once its per-iteration objective decrease drops below a
+    # dtype-scaled relative ftol (10*eps*(|f|+1) of the cnst-scaled
+    # objective — same role as scipy L-BFGS-B's ftol stop the reference
+    # relies on, pydeseq2/utils.py:1111-1124), or once its backtracking
+    # finds no improving step (an absorbing state: the identical
+    # grad/Hessian/step would be recomputed forever). The loop ends when
+    # every lane is frozen. Sub-ftol progress is f32 eval noise, and the
+    # gradient-gated Newton polish below independently drives the iterate
+    # to the f32 gradient floor, so the freeze does not change what the
+    # polish converges to. (The previous fixed maxiter x 16 full-width
+    # schedule spent ~4x the evals re-processing converged lanes.)
+    ftol = 10.0 * float(jnp.finfo(dtype).eps)
+
+    def outer_cond(state):
+        _, _, i, done = state
+        return (~jnp.all(done)) & (i < maxiter)
+
+    def body(state):
+        beta, f_val, i, done = state
         g = _grad(beta, X, counts, size, offset, pns, ps, shrink_index) / cnst[:, None]
         H = _hess(beta, X, counts, size, offset, pns, ps, shrink_index) / cnst[:, None, None]
         Hd = H + 1e-10 * jnp.eye(P, dtype=dtype)[None]
         step = sym_solve(Hd, g)
 
         def bt(j, carry):
-            t, best_beta, best_f, done = carry
+            t, best_beta, best_f, captured = carry
             cand = beta - t[:, None] * step
             f_cand = f(cand)
-            improve = (f_cand < best_f) & ~done
+            improve = (f_cand < best_f) & ~captured
             best_beta = jnp.where(improve[:, None], cand, best_beta)
             best_f = jnp.where(improve, f_cand, best_f)
-            return t * 0.5, best_beta, best_f, done | improve
+            return t * 0.5, best_beta, best_f, captured | improve
 
         t0 = jnp.ones((G,), dtype)
-        _, beta_new, f_new, _ = jax.lax.fori_loop(
+        _, beta_new, f_new, improved = jax.lax.fori_loop(
             0, 16, bt, (t0, beta, f_val, jnp.zeros((G,), bool))
         )
-        return beta_new, f_new
+        beta_new = jnp.where(done[:, None], beta, beta_new)
+        f_new = jnp.where(done, f_val, f_new)
+        done = done | ~improved | (
+            (f_val - f_new) < ftol * (jnp.abs(f_new) + 1.0)
+        )
+        return beta_new, f_new, i + 1, done
 
-    beta, f_val = jax.lax.fori_loop(0, maxiter, body, (beta_init, f(beta_init)))
+    beta, f_val, _, _ = jax.lax.while_loop(
+        outer_cond,
+        body,
+        (
+            beta_init,
+            f(beta_init),
+            jnp.asarray(0, jnp.int32),
+            jnp.zeros((G,), bool),
+        ),
+    )
 
     # f32 polish: the backtracking accept compares objective values, whose
     # f32 eval noise exceeds the true decrease once the iterate is within
