@@ -130,6 +130,7 @@ def main() -> None:
 
 
 def _stage_split(counts, X, contrast, n_samples, dtype) -> None:
+    import jax
     import jax.numpy as jnp
 
     from pydeseq2_tpu.fused import _size_factors
@@ -165,9 +166,13 @@ def _stage_split(counts, X, contrast, n_samples, dtype) -> None:
 
     rd = lambda x: float(jnp.nansum(x))
 
-    sf, _ = _size_factors(counts, mask)
+    # jit the stage: eagerly the select bisection dispatches ~32 per-op
+    # round-trips through the remote tunnel (~1.3 s of pure latency for
+    # <2 ms of compute).
+    sf_fn = jax.jit(lambda c: _size_factors(c, mask)[0])
+    sf = sf_fn(counts)
     normed = counts / sf[None, :]
-    timed("size_factors", lambda: rd(_size_factors(counts, mask)[0]))
+    timed("size_factors", lambda: rd(sf_fn(counts)))
     mom = jnp.clip(
         jnp.minimum(
             fit_rough_dispersions_batch(normed, X),
