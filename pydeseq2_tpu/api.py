@@ -160,14 +160,16 @@ def run_deseq2(
 
         counts_in = counts_gm
         if mesh is not None:
-            # The streamed wrapper pads + masks the gene axis itself (its
-            # pad lanes are gene_mask=False, so they cannot contaminate the
-            # independent-filtering quantiles); here we only place the raw
-            # counts sharded over the mesh (uneven trailing shard allowed).
+            # device_put needs shard-even shapes: pad the gene axis to a
+            # device multiple and tell the streamed wrapper the VALID count
+            # (its gene_mask keeps pad lanes out of every global reduction,
+            # incl. the independent-filtering quantiles).
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            n_dev = int(np.prod(list(mesh.shape.values())))
+            counts_pad, _ = pad_to_multiple(counts_gm, n_dev, fill=0)
             counts_in = jax.device_put(
-                jnp.asarray(counts_gm, dtype),
+                jnp.asarray(counts_pad, dtype),
                 NamedSharding(mesh, P("genes", None)),
             )
         res = run_summary_streamed(
@@ -177,6 +179,7 @@ def run_deseq2(
             float(np.log(2) * lfc_null),  # log2 -> natural log
             dtype=dtype,
             refit_cooks=True,
+            n_genes=G,
             min_replicates=min_replicates,
             alpha=alpha,
             cooks_filter=cooks_filter,

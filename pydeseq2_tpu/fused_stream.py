@@ -788,6 +788,7 @@ def run_summary_streamed(
     dtype=np.float32,
     refit_cooks: bool = False,
     min_replicates: int = 7,
+    n_genes: int | None = None,
     **knobs,
 ) -> dict:
     """Host convenience wrapper: pads genes, fills host inputs, unpads.
@@ -822,6 +823,16 @@ def run_summary_streamed(
     else:
         counts = np.asarray(counts, dtype=dtype)
     G, N = counts.shape
+    # ``n_genes``: number of LEADING valid gene lanes when the caller
+    # pre-padded the gene axis (e.g. to a device-mesh multiple — device_put
+    # needs shard-even shapes). Pad lanes beyond it are masked out of every
+    # global reduction (incl. the independent-filtering quantiles) instead
+    # of being treated as real all-zero genes, and outputs are sliced to it.
+    G_phys = G  # physical leading dim (may exceed the valid count)
+    if n_genes is not None:
+        if not 0 < n_genes <= G:
+            raise ValueError(f"n_genes={n_genes} outside (0, {G}]")
+        G = n_genes
     # Median-of-ratios needs at least one all-positive gene; on zero-inflated
     # data the reference switches to iterative (MLE) size factors
     # (pydeseq2/dds.py:682-690). The streamed equivalents are the in-program
@@ -861,10 +872,10 @@ def run_summary_streamed(
         dtype=dtype,
     )
 
-    padded_G = math.ceil(G / gene_block) * gene_block
-    if padded_G != G:
+    padded_G = math.ceil(G_phys / gene_block) * gene_block
+    if padded_G != G_phys:
         pad = jnp.pad if on_device else np.pad
-        counts = pad(counts, ((0, padded_G - G), (0, 0)))
+        counts = pad(counts, ((0, padded_G - G_phys), (0, 0)))
     gene_mask = np.arange(padded_G) < G
 
     knobs.setdefault("mu_init", host["mu_init"])
@@ -1066,6 +1077,7 @@ def run_lfc_shrink_streamed(
     gene_block: int | None = None,
     dtype=np.float32,
     prior_no_shrink_scale: float = 15.0,
+    n_genes: int | None = None,
 ) -> dict:
     """Host wrapper: apeGLM-shrink one coefficient at any scale.
 
@@ -1081,6 +1093,16 @@ def run_lfc_shrink_streamed(
     else:
         counts = np.asarray(counts, dtype=dtype)
     G, N = counts.shape
+    # ``n_genes``: number of LEADING valid gene lanes when the caller
+    # pre-padded the gene axis (e.g. to a device-mesh multiple — device_put
+    # needs shard-even shapes); auxiliary per-gene arrays (dispersions,
+    # size) stay at the VALID length. Pad lanes are masked out of every
+    # reduction instead of being treated as real genes; outputs slice to it.
+    G_phys = G  # physical leading dim (may exceed the valid count)
+    if n_genes is not None:
+        if not 0 < n_genes <= G:
+            raise ValueError(f"n_genes={n_genes} outside (0, {G}]")
+        G = n_genes
     design = np.asarray(
         design_matrix.values if hasattr(design_matrix, "values") else design_matrix,
         dtype=dtype,
@@ -1101,10 +1123,10 @@ def run_lfc_shrink_streamed(
         n_blocks = -(-G // raw)
         gene_block = ((-(-G // n_blocks) + 7) // 8) * 8
 
-    padded_G = math.ceil(G / gene_block) * gene_block
-    if padded_G != G:
+    padded_G = math.ceil(G_phys / gene_block) * gene_block
+    if padded_G != G_phys:
         pad = jnp.pad if on_device else np.pad
-        counts = pad(counts, ((0, padded_G - G), (0, 0)))
+        counts = pad(counts, ((0, padded_G - G_phys), (0, 0)))
     gene_mask = np.arange(padded_G) < G
 
     disp = np.asarray(dispersions, dtype=dtype)
@@ -1247,6 +1269,7 @@ def run_vst_streamed(
     counts,
     gene_block: int | None = None,
     dtype=np.float32,
+    n_genes: int | None = None,
     **knobs,
 ) -> dict:
     """Host wrapper for :func:`vst_pipeline_streamed` (pads/unpads genes)."""
@@ -1256,14 +1279,24 @@ def run_vst_streamed(
     else:
         counts = np.asarray(counts, dtype=dtype)
     G, N = counts.shape
+    # ``n_genes``: number of LEADING valid gene lanes when the caller
+    # pre-padded the gene axis (e.g. to a device-mesh multiple — device_put
+    # needs shard-even shapes). Pad lanes beyond it are masked out of every
+    # global reduction (incl. the independent-filtering quantiles) instead
+    # of being treated as real all-zero genes, and outputs are sliced to it.
+    G_phys = G  # physical leading dim (may exceed the valid count)
+    if n_genes is not None:
+        if not 0 < n_genes <= G:
+            raise ValueError(f"n_genes={n_genes} outside (0, {G}]")
+        G = n_genes
     if gene_block is None:
         raw = int(max(1024, min(G, 4_000_000_000 // (80 * N))))
         n_blocks = -(-G // raw)
         gene_block = ((-(-G // n_blocks) + 7) // 8) * 8
-    padded_G = math.ceil(G / gene_block) * gene_block
-    if padded_G != G:
+    padded_G = math.ceil(G_phys / gene_block) * gene_block
+    if padded_G != G_phys:
         pad = jnp.pad if on_device else np.pad
-        counts = pad(counts, ((0, padded_G - G), (0, 0)))
+        counts = pad(counts, ((0, padded_G - G_phys), (0, 0)))
     gene_mask = np.arange(padded_G) < G
     if "sample_block" not in knobs:
         if G * N * np.dtype(dtype).itemsize > 1_000_000_000:

@@ -149,3 +149,34 @@ def test_run_deseq2_no_refit_matches_staged():
             res[col].values, ds.results_df[col].values, rtol=1e-5,
             equal_nan=True, err_msg=col,
         )
+
+
+def test_run_deseq2_mesh_matches_unsharded():
+    """run_deseq2 over the 8-device gene mesh == unsharded, on BOTH the
+    streamed default-refit path and the monolithic no-refit path."""
+    import jax
+
+    from pydeseq2_tpu import run_deseq2
+    from pydeseq2_tpu.parallel.mesh import make_gene_mesh
+    from pydeseq2_tpu.utils import load_example_data
+
+    counts = load_example_data("raw_counts").copy()
+    metadata = load_example_data("metadata")
+    counts.iloc[0, 0] = 1_000_000  # force a replacement on the refit path
+    mesh = make_gene_mesh(8)
+    assert jax.device_count() >= 8
+
+    for refit in (True, False):
+        base = run_deseq2(
+            counts, metadata, "~condition",
+            contrast=["condition", "B", "A"], refit_cooks=refit,
+        )
+        sharded = run_deseq2(
+            counts, metadata, "~condition",
+            contrast=["condition", "B", "A"], refit_cooks=refit, mesh=mesh,
+        )
+        for col in ("baseMean", "log2FoldChange", "lfcSE", "stat", "pvalue", "padj"):
+            np.testing.assert_allclose(
+                sharded[col].values, base[col].values, rtol=1e-7,
+                equal_nan=True, err_msg=f"refit={refit} {col}",
+            )
