@@ -219,6 +219,73 @@ def main() -> None:
         fused_results_df(streamed, cvec, counts_df.columns), r_res, 0.02
     )
 
+    # ---- apeGLM LFC shrinkage (staged + streamed) ---------------------------
+    # Reference scenario: tests/test_pydeseq2.py:256-341 — R size factors /
+    # dispersions / MLE LFC+SE are INJECTED so shrinkage is tested in
+    # isolation; shrunk log2FoldChange within 2% of the R apeglm golden.
+    r_shrunk = pd.read_csv(
+        DATA / "single_factor" / "r_test_lfc_shrink_res.csv", index_col=0
+    )
+    r_base = pd.read_csv(DATA / "single_factor" / "r_test_res.csv", index_col=0)
+    r_sf = pd.read_csv(
+        DATA / "single_factor" / "r_test_size_factors.csv", index_col=0
+    ).squeeze()
+    r_disp = pd.read_csv(
+        DATA / "single_factor" / "r_test_dispersions.csv", index_col=0
+    ).squeeze()
+
+    dds_sh = DeseqDataSet(
+        counts=counts_df, metadata=metadata, design="~condition",
+        beta_tol=F32_BETA_TOL, quiet=True,
+    )
+    dds_sh.deseq2()
+    dds_sh.obs["size_factors"] = r_sf.values
+    dds_sh.var["dispersions"] = r_disp.values
+    dds_sh.varm["LFC"].iloc[:, 1] = r_base.log2FoldChange.values * np.log(2)
+    ds_sh = DeseqStats(dds_sh, contrast=["condition", "B", "A"], quiet=True)
+    ds_sh.summary()
+    ds_sh.SE = r_base.lfcSE * np.log(2)
+    ds_sh.lfc_shrink(coeff="condition[T.B]")
+    rel_staged = float(
+        (
+            abs(r_shrunk.log2FoldChange - ds_sh.results_df.log2FoldChange)
+            / abs(r_shrunk.log2FoldChange)
+        ).max()
+    )
+    results["shrink_staged"] = {
+        "tol": 0.02,
+        "max_rel_err": {"log2FoldChange": rel_staged},
+        "pass": rel_staged < 0.02,
+        "pass_excluding_degenerate_lfc": rel_staged < 0.02,
+    }
+
+    from pydeseq2_tpu.fused_stream import run_lfc_shrink_streamed
+
+    sh = run_lfc_shrink_streamed(
+        counts_df.values.T,
+        dds_sh.obsm["design_matrix"],
+        1,
+        r_disp.values,
+        r_sf.values,
+        mle_lfc=r_base.log2FoldChange.values * np.log(2),
+        mle_se=r_base.lfcSE.values * np.log(2),
+        adapt=True,
+        gene_block=8,
+    )
+    shrunk_l2fc = np.asarray(sh["lfc"])[:, 1] / np.log(2)
+    rel_streamed = float(
+        (
+            abs(r_shrunk.log2FoldChange.values - shrunk_l2fc)
+            / abs(r_shrunk.log2FoldChange.values)
+        ).max()
+    )
+    results["shrink_streamed"] = {
+        "tol": 0.02,
+        "max_rel_err": {"log2FoldChange": rel_streamed},
+        "pass": rel_streamed < 0.02,
+        "pass_excluding_degenerate_lfc": rel_streamed < 0.02,
+    }
+
     # ---- 4 alternative hypotheses with lfc_null = +/-0.5 --------------------
     # Reference scenario: tests/test_pydeseq2.py:180-225 and
     # pydeseq2/ds.py:223-301 (summary reruns Wald with the alt hypothesis).

@@ -111,15 +111,7 @@ class DeseqDataContainer:
         """Resolve bool masks / integer positions / gene-name lists to
         integer positions (the same indexing AnnData accepts,
         reference pydeseq2/dds.py:640-651)."""
-        idx = np.asarray(indexer)
-        if idx.dtype == bool:
-            if idx.shape[0] != self.n_vars:
-                raise ValueError("Boolean gene mask has wrong length.")
-            return np.where(idx)[0]
-        if np.issubdtype(idx.dtype, np.integer):
-            return idx
-        # treat as gene names
-        return self.var_names.get_indexer(pd.Index(idx))
+        return self._resolve_axis_indexer(indexer, self.n_vars, self.var_names)
 
     def _resolve_axis_indexer(self, indexer, n: int, names: pd.Index) -> np.ndarray:
         """Resolve one axis of an AnnData-style indexer to integer positions.
