@@ -546,3 +546,68 @@ def test_streamed_continuous_golden():
         r = r_res[col].values
         assert np.array_equal(np.isnan(r), np.isnan(got)), col
         assert np.nanmax(np.abs(r - got) / np.abs(r)) < 0.04, col
+
+
+def test_streamed_n_genes_padded_matches_unpadded(counts_df, metadata):
+    """Pre-padded counts + n_genes == the unpadded run, for all three
+    streamed wrappers.
+
+    The pad lanes must stay out of every global reduction (size-factor
+    medians, trend, prior MAD, independent-filtering quantiles) — treating
+    them as real all-zero genes would shift the base-mean quantile cutoffs
+    for REAL genes.
+    """
+    import pytest
+
+    from pydeseq2_tpu.fused_stream import (
+        run_lfc_shrink_streamed,
+        run_summary_streamed,
+        run_vst_streamed,
+    )
+
+    dds, ds = _staged(counts_df, metadata, "~condition", ["condition", "B", "A"])
+    counts_gm = counts_df.values.T.astype(float)
+    G = counts_gm.shape[0]
+    padded = np.pad(counts_gm, ((0, 6), (0, 0)))  # 6 dead all-zero lanes
+
+    kw = dict(gene_block=4, dtype=np.float64, max_disp=float(max(10, counts_df.shape[0])))
+    base = run_summary_streamed(counts_gm, dds.obsm["design_matrix"], [0.0, 1.0], **kw)
+    pad_run = run_summary_streamed(
+        padded, dds.obsm["design_matrix"], [0.0, 1.0], n_genes=G, **kw
+    )
+    for key in ("p_values", "padj", "dispersions", "base_mean", "size_factors"):
+        np.testing.assert_array_equal(
+            np.asarray(pad_run[key]), np.asarray(base[key]), err_msg=key
+        )
+    assert pad_run["p_values"].shape[0] == G
+
+    # Without n_genes the pad lanes WOULD be real all-zero genes — the padj
+    # column must then differ in length (sanity that the knob is load-bearing).
+    naive = run_summary_streamed(padded, dds.obsm["design_matrix"], [0.0, 1.0], **kw)
+    assert naive["p_values"].shape[0] == G + 6
+
+    ci = 1
+    sh_base = run_lfc_shrink_streamed(
+        counts_gm, dds.obsm["design_matrix"], ci,
+        dds.var["dispersions"].values, dds.obs["size_factors"].values,
+        adapt=False, gene_block=4, dtype=np.float64,
+    )
+    sh_pad = run_lfc_shrink_streamed(
+        padded, dds.obsm["design_matrix"], ci,
+        dds.var["dispersions"].values, dds.obs["size_factors"].values,
+        adapt=False, gene_block=4, dtype=np.float64, n_genes=G,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sh_pad["lfc"]), np.asarray(sh_base["lfc"])
+    )
+
+    vst_base = run_vst_streamed(counts_gm, gene_block=4, dtype=np.float64)
+    vst_pad = run_vst_streamed(padded, gene_block=4, dtype=np.float64, n_genes=G)
+    np.testing.assert_array_equal(
+        np.asarray(vst_pad["vst_counts"]), np.asarray(vst_base["vst_counts"])
+    )
+
+    with pytest.raises(ValueError, match="n_genes"):
+        run_summary_streamed(
+            padded, dds.obsm["design_matrix"], [0.0, 1.0], n_genes=G + 99, **kw
+        )
