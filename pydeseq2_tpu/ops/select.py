@@ -125,6 +125,40 @@ def order_stats_select(
     return tuple(_key_to_float(T, x.dtype) for T in Ts)
 
 
+def trimmed_mean_select(x: jnp.ndarray, trim: float, axis: int = 0) -> jnp.ndarray:
+    """Exact sort-free trimmed mean: drop ``floor(n*trim)`` at each end.
+
+    Same semantics as the sort-slice-mean kernel (ops/stats.trimmed_mean —
+    reference pydeseq2/utils.py:567-599): the two boundary order statistics
+    are found by radix bisection, the interior summed directly, and
+    boundary-value TIES are counted exactly (an element equal to the k-th
+    smallest is included exactly as many times as its rank range overlaps
+    the kept range). Only the SUMMATION ORDER differs from the sorted
+    kernel (memory order vs sorted order — a ~1 ulp·sqrt(n) effect). At
+    10k samples the per-column sorts are the dominant Cook's-stage cost
+    (~178 bitonic stages vs ~33 count passes here).
+    """
+    import math
+
+    n = x.shape[axis]
+    k = math.floor(n * trim)
+    if k == 0:
+        return x.mean(axis)
+    v_lo, v_hi = order_stats_select(x, (k, n - 1 - k), axis=axis)
+    xm = jnp.moveaxis(x, axis, 0)
+    lo = v_lo[None]
+    hi = v_hi[None]
+    strict = jnp.where((xm > lo) & (xm < hi), xm, 0.0).sum(0)
+    c_le_lo = (xm <= lo).sum(0)
+    c_lt_hi = (xm < hi).sum(0)
+    # kept ranks are [k, n-1-k]; copies of the boundary values inside it:
+    copies_lo = (c_le_lo - k).astype(x.dtype)
+    copies_hi = (n - k - c_lt_hi).astype(x.dtype)
+    total = strict + v_lo * copies_lo + v_hi * copies_hi
+    mean = total / (n - 2 * k)
+    return jnp.where(v_lo == v_hi, v_lo, mean)
+
+
 def masked_median_select(
     values: jnp.ndarray, n_valid: jnp.ndarray, axis: int = 0
 ) -> jnp.ndarray:

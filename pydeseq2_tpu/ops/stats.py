@@ -29,10 +29,18 @@ def trimmed_mean(x: jnp.ndarray, trim: float = 0.1, axis: int = 0) -> jnp.ndarra
     """Mean after trimming ``floor(n * trim)`` entries at each end (sorted).
 
     Parity: reference pydeseq2/utils.py:567-599 (sort-based trim, *not*
-    scipy.stats.trim_mean's interpolation).
+    scipy.stats.trim_mean's interpolation). Long trim axes use the exact
+    sort-free selection kernel (ops/select.py::trimmed_mean_select — same
+    kept multiset, only the fp summation order differs): at atlas sample
+    counts the per-column bitonic sorts dominated the Cook's stage
+    (~178 exchange stages at n=10k vs ~33 count passes).
     """
     x = jnp.asarray(x)
     n = x.shape[axis]
+    if n >= 1024 and x.dtype in (jnp.float32, jnp.float64):
+        from pydeseq2_tpu.ops.select import trimmed_mean_select
+
+        return trimmed_mean_select(x, trim, axis=axis)
     ntrim = math.floor(n * trim)
     s = jnp.sort(x, axis=axis)
     sl = [slice(None)] * s.ndim

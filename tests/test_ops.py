@@ -303,3 +303,37 @@ def test_order_stats_select_bit_identical_to_sort():
         )
     )
     assert np.isnan(m).all()
+
+
+def test_trimmed_mean_select_matches_sort_kernel():
+    """Selection-based trimmed mean == sort-slice-mean up to fp summation
+    order (same kept multiset, boundary ties counted exactly).
+
+    The long-axis gate in ops/stats.trimmed_mean routes atlas-scale trim
+    axes here — the sorted kernel's per-column bitonic sorts dominated the
+    Cook's stage at 10k samples.
+    """
+    import math
+
+    from pydeseq2_tpu.ops.select import trimmed_mean_select
+
+    rng = np.random.default_rng(0)
+    for dtype, rtol, atol in (
+        (np.float32, 1e-5, 5e-6),
+        (np.float64, 1e-12, 1e-13),
+    ):
+        for (n, m, trim) in ((2000, 37, 1 / 8), (1024, 5, 1 / 3), (4096, 11, 0.2)):
+            x = rng.normal(0, 3, (n, m)).astype(dtype)
+            tie = rng.uniform(size=(n, m)) < 0.4
+            x[tie] = np.round(rng.normal(0, 1, tie.sum()), 1).astype(dtype)
+            k = math.floor(n * trim)
+            s = np.sort(x, axis=0)
+            want = s[k : n - k].mean(0)
+            got = np.asarray(trimmed_mean_select(jnp.asarray(x), trim, axis=0))
+            np.testing.assert_allclose(got, want, rtol=rtol, atol=atol)
+        # constant columns hit the v_lo == v_hi branch
+        x2 = np.full((2048, 3), 2.5, dtype)
+        x2[:5, 1] = 99.0
+        got2 = np.asarray(trimmed_mean_select(jnp.asarray(x2), 1 / 8, axis=0))
+        s2 = np.sort(x2, axis=0)
+        np.testing.assert_allclose(got2, s2[256:-256].mean(0), rtol=1e-6)
