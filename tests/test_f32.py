@@ -209,3 +209,48 @@ def test_f32_golden_scheme_single_factor():
     for col in ("log2FoldChange", "pvalue", "padj"):
         rel = (abs(r_res[col] - res[col]) / abs(r_res[col])).max()
         assert rel < 0.02, (col, rel)
+
+
+def test_f32_stirling_lgamma_accuracy():
+    """The shifted-Stirling lgamma (the f32 dispersion-Newton hot path,
+    ops/nb.py) stays within f32 rounding of scipy's gammaln across the
+    whole argument domain the NB objective uses (z = counts + r, counts up
+    to ~1e6, r down to min_disp scales).
+
+    Guarantee: relative error <= 1e-5 for z >= 1 (values O(1)..O(1e7)) and
+    absolute error <= 5e-5 for z < 1 (values O(1); the f32 product chain's
+    rounding). The library's own f32 evaluation carries comparable error —
+    this bounds the swap's contribution, not just matches it.
+    """
+    import numpy as np
+    from scipy.special import gammaln as scipy_gammaln
+
+    from pydeseq2_tpu.ops.nb import _lgamma_stirling8
+
+    z = np.concatenate(
+        [
+            np.geomspace(1e-3, 1.0, 200, endpoint=False),
+            np.geomspace(1.0, 8.0, 200, endpoint=False),
+            np.geomspace(8.0, 2e6, 400),
+        ]
+    )
+    got = np.asarray(_lgamma_stirling8(jnp.asarray(z, jnp.float32)), float)
+    want = scipy_gammaln(z)
+    small = z < 1.0
+    assert np.abs(got[small] - want[small]).max() <= 5e-5
+    big = ~small
+    rel = np.abs(got[big] - want[big]) / np.maximum(np.abs(want[big]), 1.0)
+    assert rel.max() <= 1e-5
+
+    # f64 stays on the library call (bit-identical CPU goldens).
+    import jax
+
+    if jax.config.jax_enable_x64:
+        from jax.scipy.special import gammaln as jax_gammaln
+
+        from pydeseq2_tpu.ops.nb import _lgamma_fast
+
+        z64 = jnp.asarray(z, jnp.float64)
+        np.testing.assert_array_equal(
+            np.asarray(_lgamma_fast(z64)), np.asarray(jax_gammaln(z64))
+        )
