@@ -112,12 +112,13 @@ def main() -> None:
     # showed that overstates the reference cost ~4x at 1k samples. Fit
     # per-gene(N) = a + b*N through the two measured large-G anchors
     # (100x60000, 1000x10000); the held-out 200x30000 lands within 6%.
-    # Round 4: with the measured 10000x2000 anchor the model upgrades to a
-    # non-negative least-squares fit of wall = c0 + c1*G + c2*N + c3*N*G
-    # over ALL measured anchors (6 as of r4). In-sample error is within
-    # +/-7% at the four heaviest anchors (100x60000 -0.9%, 10000x2000
-    # +1.5%, 1000x10000 -6.6%, 200x30000 +7.1%); the previous two-anchor
-    # per-gene-affine model overstated the reference 25-40% at high N.
+    # Round 4: with measured high-N anchors (10000x2000, 5000x2000,
+    # 2000x10000) the model upgrades to a non-negative least-squares fit of
+    # wall = c0 + c1*G + c2*N + c3*N*G over ALL measured anchors (8 as of
+    # r4). In-sample error is within +/-7% at every anchor with G >= 10000
+    # or N >= 5000 (the two tiny-G low-N anchors misfit because per-gene
+    # fixed costs do not matter at the 60k-gene prediction configs); each
+    # previous simpler model overstated the reference at high N.
     pg_model = None
     anchor_keys = sorted(baseline)
     if len(anchor_keys) >= 4:
@@ -133,8 +134,8 @@ def main() -> None:
         baseline_model_desc = (
             "nonneg LS of wall = c0 + c1*G + c2*N + c3*N*G on "
             f"{len(anchor_keys)} measured reference anchors "
-            f"({', '.join(anchor_keys)}); in-sample +/-7% at the 4 "
-            "heaviest anchors"
+            f"({', '.join(anchor_keys)}); in-sample within +/-7% at every "
+            "anchor with G >= 10000 genes or N >= 5000 samples"
         )
 
     device = str(jax.devices()[0])
