@@ -25,13 +25,13 @@ Usage:
         python benchmarks/scale_runs.py
     SCALE_BLOCK=4096 SCALE_REPS=3 python benchmarks/scale_runs.py
 
-Reference baselines (BASELINE_MEASURED.json) are measured at 6 anchors up
+Reference baselines (BASELINE_MEASURED.json) are measured at 8 anchors up
 to 100x60000 (genes) and 10000x2000 (samples); configs without a direct
 anchor get vs_baseline from a nonneg-LS cost model fitted over ALL anchors
-(wall = c0 + c1*G + c2*N + c3*N*G, in-sample +/-7% at the 4 heaviest
-anchors — labeled "baseline_extrapolated": true in SCALE.json). The
-refit/shrink/vst modes have no measured CPU stage baseline and carry no
-vs_baseline.
+(wall = c0 + c1*G + c2*N + c3*N*G, in-sample within +/-7% at every anchor
+with >= 10k genes or >= 5k samples — labeled "baseline_extrapolated": true
+in SCALE.json). The refit/shrink/vst modes have no measured CPU stage
+baseline and carry no vs_baseline.
 """
 
 from __future__ import annotations
