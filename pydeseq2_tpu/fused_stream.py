@@ -13,7 +13,8 @@ HBM. This module runs the same analysis with bounded memory:
   ``lax.scan`` inside ONE jit program, so peak temporary memory is
   O(gene_block x N) regardless of G.
 - The cross-gene reductions run between the streamed passes on O(G) or one
-  full-matrix fused reduction: the size-factor medians (one sort), the
+  full-matrix fused reduction: the size-factor medians (sort-free radix
+  selection, ops/select.py), the
   gamma-GLM trend with its exclusion loop (:func:`fused.fit_fused_trend`,
   including the in-program mean fallback), the prior-variance MAD, and the
   batched BH / independent-filtering sweep (:func:`fused.device_padj`).
