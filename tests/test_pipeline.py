@@ -290,3 +290,44 @@ def test_convergence_flags_parity(counts_df, metadata):
         newton_iters=0,
     )
     assert not bool(np.asarray(conv).all())
+
+
+def test_prior_lfc_var_ridge(counts_df, metadata):
+    """DeseqStats(prior_LFC_var=...) swaps the Wald ridge from 1e-6*I to
+    diag(1/prior_var^2) (reference pydeseq2/ds.py:327-331): a large prior
+    variance reproduces the default (tiny ridge) closely, a small one
+    shrinks the statistics toward the null.
+    """
+    dds = DeseqDataSet(
+        counts=counts_df, metadata=metadata, design="~condition",
+        refit_cooks=False, quiet=True,
+    )
+    dds.deseq2()
+
+    ds_default = DeseqStats(dds, contrast=["condition", "B", "A"], quiet=True)
+    ds_default.summary()
+
+    # diag(1/v^2) with huge v ~ the default 1e-6 ridge
+    ds_wide = DeseqStats(
+        dds, contrast=["condition", "B", "A"], quiet=True,
+        prior_LFC_var=np.array([1e3, 1e3]),
+    )
+    ds_wide.summary()
+    np.testing.assert_allclose(
+        ds_wide.results_df["stat"].values,
+        ds_default.results_df["stat"].values,
+        rtol=1e-4, equal_nan=True,
+    )
+
+    # a tight prior = a LARGE ridge diag(1/v^2): H = (M + ridge)^-1
+    # shrinks, so the sandwich SE sqrt(c' H M H c) shrinks and |stat|
+    # grows (reference utils.py:718-811 semantics).
+    ds_tight = DeseqStats(
+        dds, contrast=["condition", "B", "A"], quiet=True,
+        prior_LFC_var=np.array([0.5, 0.5]),
+    )
+    ds_tight.summary()
+    d = ds_default.results_df["stat"].abs().dropna()
+    t = ds_tight.results_df["stat"].abs().dropna()
+    assert (t >= d - 1e-12).all()
+    assert (t > d + 1e-6).any()
