@@ -219,12 +219,16 @@ def main() -> None:
     per_stage_roofline = {}
     # lax.scan lowers to an HLO while too, so the static-trip grid scans are
     # equally undercounted: genewise = 40 coarse + 4 Newton body
-    # evaluations of the (G, N) objective, MAP = 8 + 4 (coarse cache reused).
+    # evaluations of the (G, N) objective (fine scan disabled), MAP = 0 + 4
+    # (its coarse scan reuses the genewise cache; only the Newton polish
+    # re-evaluates the objective). Keep these in sync with the
+    # genewise_disp_static / map_disp_static trips dict above and the
+    # ops/dispersion.py defaults.
     trip_mult = {
         "irls_lfc": n_irls,
         "trend": max(n_trend, 1),
-        "genewise_disp": 60,
-        "map_disp": 12,
+        "genewise_disp": 44,
+        "map_disp": 4,
     }
     for s in stages:
         if "marginal_flops_1trip" not in s:

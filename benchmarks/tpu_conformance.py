@@ -443,6 +443,104 @@ def main() -> None:
         fused_results_df(streamed, cvec, counts_df.columns), r_res, 0.04
     )
 
+    # ---- VST on-device (blind, parametric + mean; fused + streamed) --------
+    # Reference scenario: tests/test_pydeseq2.py:761-803 (VST within 2% of
+    # the R goldens r_vst.csv / r_mean_vst.csv); previously validated only
+    # on the CPU f64 path (tests/test_vst.py).
+    from pydeseq2_tpu.fused import vst_pipeline
+    from pydeseq2_tpu.fused_stream import run_vst_streamed
+
+    counts_df = load_example_data("raw_counts")
+    r_vst = pd.read_csv(DATA / "single_factor" / "r_vst.csv", index_col=0).T
+    r_mean_vst = pd.read_csv(
+        DATA / "single_factor" / "r_mean_vst.csv", index_col=0
+    ).T
+
+    def vst_row(vst_gm: np.ndarray, golden: pd.DataFrame, tol=0.02) -> dict:
+        got = np.asarray(vst_gm, float).T  # (N, G)
+        rel = float((np.abs(golden.values - got) / golden.values).max())
+        return {
+            "tol": tol,
+            "max_rel_err": {"vst_counts": rel},
+            "pass": bool(np.isfinite(got).all() and rel < tol),
+            "pass_excluding_degenerate_lfc": bool(
+                np.isfinite(got).all() and rel < tol
+            ),
+        }
+
+    counts_gm32 = jnp.asarray(counts_df.values.T, jnp.float32)
+    out = vst_pipeline(counts_gm32, max_disp=float(max(10, len(counts_df))))
+    results["vst_fused_parametric"] = vst_row(out["vst_counts"], r_vst)
+    results["vst_fused_parametric"]["trend_used_mean"] = bool(
+        np.asarray(out.get("trend_used_mean", False))
+    )
+    out = vst_pipeline(
+        counts_gm32, trend_type="mean", max_disp=float(max(10, len(counts_df)))
+    )
+    results["vst_fused_mean"] = vst_row(out["vst_counts"], r_mean_vst)
+
+    sv = run_vst_streamed(
+        counts_df.values.T, gene_block=4, dtype=np.float32,
+        max_disp=float(max(10, len(counts_df))),
+    )
+    results["vst_streamed_parametric"] = vst_row(sv["vst_counts"], r_vst)
+    sv = run_vst_streamed(
+        counts_df.values.T, gene_block=4, dtype=np.float32,
+        trend_type="mean", max_disp=float(max(10, len(counts_df))),
+    )
+    results["vst_streamed_mean"] = vst_row(sv["vst_counts"], r_mean_vst)
+
+    # ---- normalization modes on-device (poscounts in-stream + iterative) ----
+    # Reference scenario: tests/test_pydeseq2.py:40-92,344-365 (poscounts /
+    # iterative size factors vs the R goldens), through the streamed path and
+    # the one-program device iterative solver in f32.
+    from pydeseq2_tpu.ops.sizefactors import iterative_size_factors
+
+    metadata = load_example_data("metadata")
+    dds_n = DeseqDataSet(
+        counts=counts_df, metadata=metadata, design="~condition", quiet=True
+    )
+    r_sf_pos = pd.read_csv(
+        DATA / "single_factor" / "r_test_size_factors_poscount.csv", index_col=0
+    ).squeeze()
+    streamed_pos = run_summary_streamed(
+        counts_df.values.T,
+        dds_n.obsm["design_matrix"],
+        np.array([0.0, 1.0]),
+        gene_block=4,
+        sf_fit_type="poscounts",
+        max_disp=float(max(10, len(counts_df))),
+        beta_tol=F32_BETA_TOL,
+    )
+    rel = float(
+        (
+            np.abs(r_sf_pos.values - np.asarray(streamed_pos["size_factors"]))
+            / np.abs(r_sf_pos.values)
+        ).max()
+    )
+    results["poscounts_streamed"] = {
+        "tol": 0.02,
+        "max_rel_err": {"size_factors": rel},
+        "pass": rel < 0.02,
+        "pass_excluding_degenerate_lfc": rel < 0.02,
+    }
+
+    r_sf_it = pd.read_csv(
+        DATA / "single_factor" / "r_iterative_size_factors.csv", index_col=0
+    ).squeeze()
+    sf_it, _ = iterative_size_factors(
+        counts_gm32, max_disp=float(max(10, len(counts_df)))
+    )
+    rel = float(
+        (np.abs(r_sf_it.values - np.asarray(sf_it)) / np.abs(r_sf_it.values)).max()
+    )
+    results["iterative_sf_device"] = {
+        "tol": 0.02,
+        "max_rel_err": {"size_factors": rel},
+        "pass": rel < 0.02,
+        "pass_excluding_degenerate_lfc": rel < 0.02,
+    }
+
     results["all_pass"] = all(
         v["pass"] for v in results.values() if isinstance(v, dict) and "pass" in v
     )

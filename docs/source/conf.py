@@ -3,9 +3,9 @@
 Counterpart of the reference's docs system (reference
 /root/reference/docs/source/conf.py + .readthedocs.yaml): API reference via
 autodoc/napoleon plus the repo's markdown documentation via myst-parser.
-Sphinx is not installed in the development image (no-network policy), so
-this configuration is exercised by readthedocs / any host with
-``pip install .[docs]`` rather than by local CI.
+Built by the CI ``docs`` job (``pip install .[docs]`` + ``sphinx-build``);
+the development image has no network, so local runs need a host with the
+docs extra installed.
 """
 
 import os
@@ -34,8 +34,10 @@ autodoc_default_options = {
 }
 napoleon_numpy_docstring = True
 
-# Heavy/optional imports that must not break the docs build.
-autodoc_mock_imports = ["jax", "jaxlib", "matplotlib", "scipy", "anndata"]
+# Optional imports that must not break the docs build. jax/scipy are hard
+# package dependencies and stay REAL: module import executes jit decorators
+# and jax.config calls, which mocks render into garbage signatures.
+autodoc_mock_imports = ["matplotlib", "anndata"]
 
 myst_enable_extensions = ["colon_fence"]
 source_suffix = {".rst": "restructuredtext", ".md": "markdown"}

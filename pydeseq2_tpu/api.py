@@ -36,6 +36,8 @@ def run_deseq2(
     lfc_null: float = 0.0,
     alt_hypothesis: str | None = None,
     fit_type: str = "parametric",
+    size_factors_fit_type: str = "ratio",
+    control_genes=None,
     refit_cooks: bool = True,
     min_replicates: int = 7,
     min_mu: float = 0.5,
@@ -62,6 +64,18 @@ def run_deseq2(
     contrast : list[str] | np.ndarray
         ``["variable", "tested_level", "ref_level"]`` (reference
         pydeseq2/ds.py:91-103) or an explicit (P,) contrast vector.
+    size_factors_fit_type : {"ratio", "poscounts", "iterative"}
+        Normalization mode (reference pydeseq2/dds.py:584-711). ``ratio`` is
+        median-of-ratios computed in-program; when it is undefined (every
+        gene has a zero) the analysis switches to the device iterative MLE
+        solver with the reference's warning (dds.py:682-690). ``poscounts``
+        runs the zero-rich estimator in-program; ``iterative`` runs the
+        one-program trimmed-likelihood solver
+        (:func:`pydeseq2_tpu.ops.sizefactors.iterative_size_factors`).
+    control_genes : array-like, optional
+        Restrict the ratio/poscounts estimators to these genes (names,
+        positions or a boolean mask — reference pydeseq2/dds.py:640-651).
+        Computed via the staged layer and injected into the device program.
     refit_cooks : bool
         Replace Cook's-outlier counts and refit the affected genes — the
         reference's DEFAULT pipeline (pydeseq2/dds.py:221,1042-1064). Runs
@@ -151,6 +165,51 @@ def run_deseq2(
     counts_gm = np.asarray(dds.X, float).T  # gene-major (G, N)
     G = counts_gm.shape[0]
 
+    # --- normalization routing (reference pydeseq2/dds.py:584-711) --------
+    # sf_vec: externally computed (N,) factors to inject into the device
+    # programs; sf_in_program: the in-program estimator otherwise.
+    if size_factors_fit_type not in ("ratio", "poscounts", "iterative"):
+        raise ValueError(
+            f"size_factors_fit_type must be 'ratio', 'poscounts' or "
+            f"'iterative', got {size_factors_fit_type!r}."
+        )
+    sf_vec = None
+    sf_in_program = "ratio"
+
+    def _iterative_sf():
+        from pydeseq2_tpu.ops.sizefactors import iterative_size_factors
+
+        sf, _ = iterative_size_factors(
+            jnp.asarray(counts_gm, dtype),
+            min_disp=min_disp,
+            max_disp=max_disp,
+            min_mu=min_mu,
+        )
+        return sf
+
+    if control_genes is not None and size_factors_fit_type != "iterative":
+        # Control-gene-restricted estimators run in the staged layer (host
+        # medians over the restricted gene set) and are injected.
+        dds.fit_size_factors(
+            fit_type=size_factors_fit_type, control_genes=control_genes
+        )
+        sf_vec = dds.obs["size_factors"].values
+    elif size_factors_fit_type == "iterative":
+        sf_vec = _iterative_sf()
+    elif size_factors_fit_type == "poscounts":
+        sf_in_program = "poscounts"
+    elif not (counts_gm > 0).all(axis=1).any():
+        # ratio undefined: every gene has a zero (reference dds.py:682-690)
+        import warnings
+
+        warnings.warn(
+            "Every gene contains at least one zero, cannot compute log "
+            "geometric means. Switching to iterative mode.",
+            UserWarning,
+            stacklevel=2,
+        )
+        sf_vec = _iterative_sf()
+
     if refit_cooks:
         # The reference's default analysis: Cook's replacement + refit needs
         # a data-dependent second program, so it runs through the streamed
@@ -180,6 +239,8 @@ def run_deseq2(
             dtype=dtype,
             refit_cooks=True,
             n_genes=G,
+            size_factors=None if sf_vec is None else jnp.asarray(sf_vec, dtype),
+            sf_fit_type=sf_in_program,
             min_replicates=min_replicates,
             alpha=alpha,
             cooks_filter=cooks_filter,
@@ -233,6 +294,8 @@ def run_deseq2(
         jnp.asarray(np.log(2) * lfc_null, dtype),  # log2 -> natural log
         jnp.asarray(host["cooks_cutoff"], dtype),
         gene_mask_d,
+        None if sf_vec is None else jnp.asarray(sf_vec, dtype),
+        sf_fit_type=sf_in_program,
         cohort_ids=host["cohort_ids"],
         use_for_max=host["use_for_max"],
         alpha=alpha,

@@ -313,12 +313,37 @@ def _size_factors(
     return sf, filtered
 
 
+def _poscounts_size_factors(
+    counts: jnp.ndarray, gene_mask: jnp.ndarray
+) -> jnp.ndarray:
+    """Poscounts size factors on a gene-major (G, N) tile (zero-rich data).
+
+    Parity: reference pydeseq2/dds.py:656-679 — per-gene log-geometric mean
+    over POSITIVE counts with a full-N divisor; each sample's median runs
+    over the genes that are usable AND positive in that sample (a RAGGED
+    median, resolved by the exact sort-free selector); size factors are
+    rescaled to geometric mean 1.
+    """
+    logmeans = jnp.where(counts > 0, jnp.log(jnp.where(counts > 0, counts, 1.0)), 0.0).mean(axis=1)
+    usable = jnp.isfinite(logmeans) & (logmeans > 0) & gene_mask
+    in_med = usable[:, None] & (counts > 0)
+    ratios = jnp.where(
+        in_med,
+        jnp.log(jnp.where(counts > 0, counts, 1.0)) - logmeans[:, None],
+        jnp.inf,
+    )
+    med = masked_median_select(ratios, in_med.sum(axis=0), axis=0)
+    sf = jnp.exp(med)
+    return sf / jnp.exp(jnp.mean(jnp.log(sf)))
+
+
 def _wald_impl(
     counts: jnp.ndarray,
     design_matrix: jnp.ndarray,
     contrast: jnp.ndarray,
     lfc_null: jnp.ndarray,
     gene_mask: jnp.ndarray | None = None,
+    size_factors: jnp.ndarray | None = None,
     min_mu: float = 0.5,
     min_disp: float = 1e-8,
     max_disp: float = 10.0,
@@ -327,6 +352,7 @@ def _wald_impl(
     trend_rounds: int = 8,
     alt_hypothesis: str | None = None,
     mu_init: str = "linear",
+    sf_fit_type: str = "ratio",
 ):
     """One-program DESeq2 Wald pipeline on a gene-major counts tile.
 
@@ -365,7 +391,16 @@ def _wald_impl(
         gene_mask = jnp.ones((G,), dtype=bool)
 
     # --- normalization ----------------------------------------------------
-    sf, _ = _size_factors(counts, gene_mask)
+    # ``size_factors`` overrides the in-program estimator (inject iterative /
+    # control-gene factors); ``sf_fit_type="poscounts"`` selects the
+    # zero-rich estimator (reference normalization modes,
+    # pydeseq2/dds.py:584-711).
+    if size_factors is not None:
+        sf = jnp.asarray(size_factors, dtype)
+    elif sf_fit_type == "poscounts":
+        sf = _poscounts_size_factors(counts, gene_mask)
+    else:
+        sf, _ = _size_factors(counts, gene_mask)
     normed = counts / sf[None, :]
     base_mean = normed.mean(axis=1)
     # Folding gene_mask in here propagates the exclusion through every
@@ -495,6 +530,7 @@ def _wald_impl(
         "trend_rounds",
         "alt_hypothesis",
         "mu_init",
+        "sf_fit_type",
     ),
 )
 def wald_pipeline(
@@ -503,6 +539,7 @@ def wald_pipeline(
     contrast: jnp.ndarray,
     lfc_null: jnp.ndarray,
     gene_mask: jnp.ndarray | None = None,
+    size_factors: jnp.ndarray | None = None,
     min_mu: float = 0.5,
     min_disp: float = 1e-8,
     max_disp: float = 10.0,
@@ -511,6 +548,7 @@ def wald_pipeline(
     trend_rounds: int = 8,
     alt_hypothesis: str | None = None,
     mu_init: str = "linear",
+    sf_fit_type: str = "ratio",
 ):
     """See :func:`_wald_impl` (this is its jitted public wrapper)."""
     out = _wald_impl(
@@ -519,6 +557,7 @@ def wald_pipeline(
         contrast,
         lfc_null,
         gene_mask,
+        size_factors,
         min_mu=min_mu,
         min_disp=min_disp,
         max_disp=max_disp,
@@ -527,6 +566,7 @@ def wald_pipeline(
         trend_rounds=trend_rounds,
         alt_hypothesis=alt_hypothesis,
         mu_init=mu_init,
+        sf_fit_type=sf_fit_type,
     )
     out.pop("_normed")
     out.pop("_non_zero")
@@ -551,6 +591,7 @@ def wald_pipeline(
         "trend_rounds",
         "alt_hypothesis",
         "mu_init",
+        "sf_fit_type",
     ),
 )
 def summary_pipeline(
@@ -560,6 +601,7 @@ def summary_pipeline(
     lfc_null: jnp.ndarray,
     cooks_cutoff: jnp.ndarray,
     gene_mask: jnp.ndarray | None = None,
+    size_factors: jnp.ndarray | None = None,
     *,
     cohort_ids: tuple[int, ...] | None = None,
     use_for_max: tuple[bool, ...] | None = None,
@@ -574,6 +616,7 @@ def summary_pipeline(
     trend_rounds: int = 8,
     alt_hypothesis: str | None = None,
     mu_init: str = "linear",
+    sf_fit_type: str = "ratio",
 ):
     """Counts -> padj as ONE jit program: the full DESeq2 analysis.
 
@@ -626,6 +669,7 @@ def summary_pipeline(
         contrast,
         lfc_null,
         gene_mask,
+        size_factors,
         min_mu=min_mu,
         min_disp=min_disp,
         max_disp=max_disp,
@@ -634,6 +678,7 @@ def summary_pipeline(
         trend_rounds=trend_rounds,
         alt_hypothesis=alt_hypothesis,
         mu_init=mu_init,
+        sf_fit_type=sf_fit_type,
     )
     normed = out.pop("_normed")
     non_zero = out.pop("_non_zero")

@@ -836,28 +836,35 @@ def run_summary_streamed(
         G = n_genes
     # Median-of-ratios needs at least one all-positive gene; on zero-inflated
     # data the reference switches to iterative (MLE) size factors
-    # (pydeseq2/dds.py:682-690). The streamed equivalents are the in-program
-    # poscounts estimator (sf_fit_type="poscounts") or injecting externally
-    # computed factors (size_factors= — e.g. the staged device iterative
-    # solver, models/dataset.py:_fit_iterate_size_factors(method="device")).
-    # When ratio was requested but is undefined, switch to in-stream
-    # poscounts with a warning rather than streaming NaN medians through the
-    # whole analysis.
-    if (
-        knobs.get("size_factors") is None
-        and knobs.get("sf_fit_type", "ratio") == "ratio"
-        and not (counts > 0).all(axis=1).any()
-    ):
-        warnings.warn(
-            "Every gene contains at least one zero, cannot compute log "
-            "geometric means: switching to in-stream poscounts size factors. "
-            "(The reference's staged fallback is the iterative MLE — pass "
-            "size_factors= from DeseqDataSet._fit_iterate_size_factors for "
-            "exact-parity normalization.)",
-            UserWarning,
-            stacklevel=2,
+    # (pydeseq2/dds.py:682-690). The streamed path runs the device-native
+    # one-program equivalent (ops/sizefactors.py::iterative_size_factors,
+    # golden-validated against r_iterative_size_factors.csv) and injects the
+    # result; ``sf_fit_type="iterative"`` requests it explicitly.
+    sf_req = knobs.get("sf_fit_type", "ratio")
+    if knobs.get("size_factors") is None and sf_req in ("ratio", "iterative"):
+        ratio_undefined = sf_req == "ratio" and not bool(
+            np.asarray((counts > 0).all(axis=1).any())
         )
-        knobs["sf_fit_type"] = "poscounts"
+        if sf_req == "iterative" or ratio_undefined:
+            if ratio_undefined:
+                warnings.warn(
+                    "Every gene contains at least one zero, cannot compute "
+                    "log geometric means. Switching to iterative mode.",
+                    UserWarning,
+                    stacklevel=2,
+                )
+            from pydeseq2_tpu.ops.sizefactors import iterative_size_factors
+
+            valid = jnp.arange(G_phys) < G
+            sf_it, _ = iterative_size_factors(
+                jnp.asarray(counts),
+                valid,
+                min_disp=knobs.get("min_disp", 1e-8),
+                max_disp=knobs.get("max_disp", float(max(10, N))),
+                min_mu=knobs.get("min_mu", 0.5),
+            )
+            knobs["size_factors"] = sf_it
+            knobs["sf_fit_type"] = "ratio"  # unused once factors are injected
     if gene_block is None:
         budget_bytes = 4_000_000_000
         raw = int(max(1024, min(G, budget_bytes // (80 * N))))

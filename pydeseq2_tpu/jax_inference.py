@@ -50,13 +50,22 @@ class JaxInference(Inference):
         reproduces the reference's numerics; float32 is faster on TPU and
         passes the golden-file tolerance on the repo fixtures.
     gene_batch_size : int, optional
-        Maximum genes per device program. ``None`` processes all genes in one
-        program. Chunks are padded to exactly this size so each kernel
-        compiles once.
+        Maximum genes per device program. ``None`` (default) derives the
+        batch from an HBM budget (~4 GB of live (block, N) solver
+        temporaries, the same sizing rule as the gene-streamed pipeline) so
+        atlas-scale inputs run out of the box instead of building one
+        full-G program; the budget covers the whole gene axis for the
+        common N <= ~1k cohorts, keeping the one-program fast path. Chunks
+        are padded to equal size so each kernel compiles once.
     mesh : jax.sharding.Mesh, optional
         1-D mesh with a ``"genes"`` axis; gene-major arrays are sharded over
         it, the design matrix and size factors are replicated.
     """
+
+    #: HBM budget for live solver temporaries; ~20 (block, N) buffers are
+    #: alive in the worst stage (matches fused_stream's auto gene_block).
+    _HBM_BUDGET_BYTES = 4_000_000_000
+    _LIVE_BUFFERS = 20
 
     def __init__(
         self,
@@ -87,9 +96,29 @@ class JaxInference(Inference):
 
         return jax.device_put(arr, NamedSharding(self.mesh, P()))
 
-    def _chunks(self, G: int):
+    def _auto_batch(self, G: int, N: int) -> int:
+        """Genes per program under the HBM budget (even split, tile-rounded)."""
+        itemsize = jnp.dtype(self.dtype).itemsize
+        raw = int(
+            max(
+                1024,
+                min(G, self._HBM_BUDGET_BYTES // (self._LIVE_BUFFERS * N * itemsize)),
+            )
+        )
+        # Even split: ceil(G/raw) blocks of near-equal size so padding never
+        # exceeds one block's rounding.
+        n_blocks = -(-G // raw)
+        bs = -(-G // n_blocks)
+        return ((bs + 7) // 8) * 8
+
+    def _chunks(self, G: int, N: int | None = None):
         """Yield (start, stop, padded_size) gene ranges."""
-        bs = self.gene_batch_size or G
+        if self.gene_batch_size is not None:
+            bs = self.gene_batch_size
+        elif N is not None:
+            bs = self._auto_batch(G, N)
+        else:
+            bs = G
         if self.mesh is not None:
             # Keep chunk size divisible by the mesh so shards stay equal.
             n_dev = math.prod(self.mesh.devices.shape)
@@ -174,11 +203,14 @@ class JaxInference(Inference):
         disp_np = np.asarray(disp)
 
         beta_out = np.empty((G, P), dtype=np.float64)
-        mu_out = np.empty((G, N), dtype=np.float64)
-        hat_out = np.empty((G, N), dtype=np.float64)
+        # The two big (G, N) buffers stay in the compute dtype: at atlas
+        # scale a float64 export doubles host memory for no information
+        # (the device solved in self.dtype anyway).
+        mu_out = np.empty((G, N), dtype=self.dtype)
+        hat_out = np.empty((G, N), dtype=self.dtype)
         conv_out = np.empty((G,), dtype=bool)
 
-        for start, stop, padded in self._chunks(G):
+        for start, stop, padded in self._chunks(G, N):
             cnt_c = self._pad_g(cnt_np[start:stop], padded, 1.0)
             disp_c = self._pad_g(disp_np[start:stop], padded, 0.5)
             cnt_d = self._device_put_gene_major(jnp.asarray(cnt_c, dtype=self.dtype))
@@ -254,13 +286,13 @@ class JaxInference(Inference):
         """
         cnt_np = np.asarray(counts).T
         mu_np = np.asarray(mu).T
-        G = cnt_np.shape[0]
+        G, N = cnt_np.shape
         X = self._replicate(jnp.asarray(np.asarray(design_matrix), dtype=self.dtype))
         ah_np = np.asarray(alpha_hat, dtype=float)
 
         alpha_out = np.empty((G,), dtype=np.float64)
         conv_out = np.empty((G,), dtype=bool)
-        for start, stop, padded in self._chunks(G):
+        for start, stop, padded in self._chunks(G, N):
             cnt_c = self._pad_g(cnt_np[start:stop], padded, 1.0)
             mu_c = self._pad_g(mu_np[start:stop], padded, 1.0)
             ah_c = self._pad_g(ah_np[start:stop], padded, 0.5)
@@ -294,7 +326,7 @@ class JaxInference(Inference):
         """Parity: reference pydeseq2/utils.py:718-811 +
         pydeseq2/default_inference.py:163-198."""
         mu_np = np.asarray(mu).T  # (G, N)
-        G = mu_np.shape[0]
+        G, N = mu_np.shape
         X = self._replicate(jnp.asarray(np.asarray(design_matrix), dtype=self.dtype))
         ridge = self._replicate(jnp.asarray(np.asarray(ridge_factor), dtype=self.dtype))
         cvec = self._replicate(jnp.asarray(np.asarray(contrast), dtype=self.dtype))
@@ -304,7 +336,7 @@ class JaxInference(Inference):
         p_out = np.empty((G,), dtype=np.float64)
         s_out = np.empty((G,), dtype=np.float64)
         se_out = np.empty((G,), dtype=np.float64)
-        for start, stop, padded in self._chunks(G):
+        for start, stop, padded in self._chunks(G, N):
             mu_c = self._pad_g(mu_np[start:stop], padded, 1.0)
             d_c = self._pad_g(disp_np[start:stop], padded, 0.5)
             l_c = self._pad_g(lfc_np[start:stop], padded, 0.0)
@@ -350,7 +382,7 @@ class JaxInference(Inference):
         """Parity: reference pydeseq2/utils.py:990-1144 +
         pydeseq2/default_inference.py:232-264."""
         cnt_np = np.asarray(counts).T  # (G, N)
-        G = cnt_np.shape[0]
+        G, N = cnt_np.shape
         X = self._replicate(jnp.asarray(np.asarray(design_matrix), dtype=self.dtype))
         P = X.shape[1]
         size_np = np.asarray(size, dtype=float)
@@ -359,7 +391,7 @@ class JaxInference(Inference):
         beta_out = np.empty((G, P), dtype=np.float64)
         ih_out = np.empty((G, P, P), dtype=np.float64)
         conv_out = np.empty((G,), dtype=bool)
-        for start, stop, padded in self._chunks(G):
+        for start, stop, padded in self._chunks(G, N):
             cnt_c = self._pad_g(cnt_np[start:stop], padded, 1.0)
             size_c = self._pad_g(size_np[start:stop], padded, 1.0)
             cnt_d = self._device_put_gene_major(jnp.asarray(cnt_c, dtype=self.dtype))

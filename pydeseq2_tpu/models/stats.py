@@ -5,9 +5,11 @@ pydeseq2/ds.py:19-601) — same public attribute surface (``results_df``,
 ``p_values``, ``statistics``, ``SE``, ``padj``, ``LFC``, ``base_mean``) and
 same statistical semantics, but organised differently:
 
-- All statistics are computed from a read-only *array snapshot* of the fitted
-  dataset taken once per run (``_snapshot``); pandas labels are attached only
-  at the edge when results are published.
+- The constructor takes labeled working copies of the fitted dataset's
+  arrays (``base_mean`` / ``design_matrix`` / ``LFC``); device passes strip
+  to raw arrays at the call boundary and results are republished as labeled
+  pandas objects (``lfc_shrink`` edits the working copies in place, as the
+  reference does).
 - The Wald pass is memoised on its hypothesis key ``(lfc_null,
   alt_hypothesis)`` so ``summary(lfc_null=..., alt_hypothesis=...)`` reruns
   exactly when the hypothesis changes.

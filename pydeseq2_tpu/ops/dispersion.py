@@ -271,20 +271,11 @@ def alpha_mle_batch(
                 coarse_vals = coarse_emitted
     if fine_length == 0:
         la2 = la1
-        f2 = obj(la1)
     else:
-        f2, la2 = scan_grid(la1, step1_f, fine_length)
+        _, la2 = scan_grid(la1, step1_f, fine_length)
     step2 = jnp.asarray(step2_f, dtype)  # fine-grid spacing bounds the polish step
 
     # 3) Newton polish with step clipping + objective safeguard
-    sum_obj = lambda la: obj(la).sum()
-    grad = jax.grad(sum_obj)
-    # Diagonal curvature via forward-over-reverse (lanes independent, so
-    # H @ 1 is the diagonal); jvp shares the gradient's forward pass, so one
-    # call yields BOTH g and h — measurably cheaper than a separate
-    # grad-of-grad evaluation per Newton step.
-    grad_and_curv = lambda la: jax.jvp(grad, (la,), (jnp.ones_like(la),))
-
     # Clip Newton steps to the COARSE spacing: wide enough to recover when
     # the (approximate, f32) grid scan lands a few fine cells off, narrow
     # enough not to jump basins (acceptance still requires descent).
@@ -297,13 +288,23 @@ def alpha_mle_batch(
         (g,) = vjp_fn(jnp.ones_like(f))
         return f, g
 
+    def fgh(la):
+        # Objective, gradient AND diagonal curvature of one point in a
+        # single forward-over-reverse call (lanes independent, so the ones
+        # tangent extracts the Hessian diagonal): the Newton body then
+        # needs exactly ONE objective-autodiff evaluation per iteration —
+        # the carried (g, h) of the accepted point seeds the next step —
+        # instead of a grad_and_curv(current) + obj_and_grad(candidate)
+        # pair (~1.5x the transcendental work; measured on the TPU probe).
+        (f, g), (_, h) = jax.jvp(obj_and_grad, (la,), (jnp.ones_like(la),))
+        return f, g, h
+
     def newton_body(i, state):
-        la, f_best, g = state
-        _, h = grad_and_curv(la)
+        la, f_best, g, h = state
         raw = jnp.where(h > 0, g / h, jnp.sign(g) * step2)
         step = jnp.clip(raw, -clipw, clipw)
         cand = jnp.clip(la - step, lo, hi)
-        f_cand, g_cand = obj_and_grad(cand)
+        f_cand, g_cand, h_cand = fgh(cand)
         # Near the optimum the objective difference is below the f32 noise
         # floor while the GRADIENT still carries signal: a strict descent
         # gate there freezes lanes at fine-grid resolution (~step2 error in
@@ -329,10 +330,12 @@ def alpha_mle_batch(
             jnp.where(better, cand, la),
             jnp.where(better, f_cand, f_best),
             jnp.where(better, g_cand, g),
+            jnp.where(better, h_cand, h),
         )
 
-    la_fit, f_fit, _ = jax.lax.fori_loop(
-        0, newton_iters, newton_body, (la2, f2, grad(la2))
+    f2, g2, h2 = fgh(la2)
+    la_fit, f_fit, g_fin, h_fin = jax.lax.fori_loop(
+        0, newton_iters, newton_body, (la2, f2, g2, h2)
     )
 
     alpha = jnp.exp(la_fit)
@@ -343,8 +346,8 @@ def alpha_mle_batch(
     # push outward at an active bound are projected to zero first, so lanes
     # pinned at min/max_disp report converged like the reference's bounded
     # L-BFGS-B does (parity: per-gene ``res.success``, reference
-    # pydeseq2/utils.py:554-564).
-    g_fin, h_fin = grad_and_curv(la_fit)
+    # pydeseq2/utils.py:554-564). The carried (g_fin, h_fin) are exactly the
+    # fgh values of the accepted final point — no recomputation needed.
     at_lo = la_fit <= lo
     at_hi = la_fit >= hi
     pg = jnp.where(at_lo & (g_fin > 0), 0.0, g_fin)

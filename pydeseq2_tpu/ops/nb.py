@@ -198,7 +198,34 @@ def nb_nll_centered(
     elif branch == "stable":
         per = stable_branch()
     else:
-        per = jnp.where(r < _R_SWITCH, plain_branch(), stable_branch())
+        # Dual-branch evaluation with the (G, N) transcendentals SHARED:
+        # log(mu + r) = log r + log1p(mu/r), so the plain branch rides the
+        # stable branch's l1p_v and the only plain-exclusive heavy op is the
+        # lgamma — 3 transcendental groups instead of 4. This is the Newton
+        # hot path of the dispersion solvers (the grid scans use the static
+        # single-branch forms).
+        u = counts / r
+        v = mu / r
+        l1p_u = jnp.log1p(u)
+        l1p_v = jnp.log1p(v)
+        yr = counts + r
+        log_r = jnp.log(r)  # (G, 1): per-lane, cheap
+        plain = (
+            -r * log_r
+            - _lgamma_fast(yr)
+            + gammaln(r)
+            + yr * (log_r + l1p_v)
+            - mu
+        )
+        stable = (
+            -r * (l1p_u - u)
+            - (counts - 0.5) * l1p_u
+            + r * (l1p_v - v)
+            + counts * l1p_v
+            + counts / (12.0 * r * yr)
+            + (1.0 / yr**3 - 1.0 / r**3) / 360.0
+        )
+        per = jnp.where(r < _R_SWITCH, plain, stable)
     return per.sum(-1)
 
 

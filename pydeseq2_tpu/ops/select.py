@@ -39,9 +39,15 @@ def _monotone_key(x: jnp.ndarray) -> jnp.ndarray:
 
     Standard sign-flip trick: non-negative floats (sign bit 0) get the top
     bit set; negative floats are bitwise-complemented (reversing their
-    order). NaNs (exponent all-ones, non-zero mantissa, sign usually 0) map
-    above +inf, so callers can encode "excluded" as +inf or NaN and simply
-    restrict the requested ranks to the valid count.
+    order). POSITIVE NaNs (sign bit 0) map above +inf, so callers can encode
+    "excluded" as +inf or a positive NaN and simply restrict the requested
+    ranks to the valid count. CAVEAT: a NEGATIVE NaN (sign bit set — what
+    arithmetic like inf-inf or 0*inf often produces) is bitwise-complemented
+    and orders BELOW -inf, corrupting the rank bookkeeping. Every caller in
+    this package encodes exclusions explicitly as +inf (jnp.where(mask, x,
+    jnp.inf)); new callers must do the same — canonicalize computed NaNs
+    first (x = jnp.where(jnp.isnan(x), jnp.inf, x)) rather than passing
+    them through.
     """
     int_t, uint_t, bits = _key_info(x.dtype)
     u = jax.lax.bitcast_convert_type(x, uint_t)
@@ -106,20 +112,46 @@ def order_stats_select(
     ks = [jnp.broadcast_to(jnp.asarray(k, jnp.int32), red_shape) for k in ranks]
     init = tuple(jnp.zeros(red_shape, uint_t) for _ in ks)
 
+    # Shared-prefix skip: bits where the per-column key MINIMUM and MAXIMUM
+    # agree (above each column's highest differing bit) are carried by every
+    # key in that column — ordering guarantees it — so the selected order
+    # statistic carries them too, and the pass resolves by copying the
+    # min-key's bits instead of the 2^w-1 count sweeps over the operand.
+    # One min+max reduce pair over the keys (a single fused read, standard
+    # reductions on every backend — a custom bitwise-AND reduction fails to
+    # lower on XLA:CPU) finds the prefix; real data shares at least the
+    # exponent-range prefix of the key encoding. Each pass gates on a
+    # scalar lax.cond, so the skip costs ~nothing when a bit is informative.
+    key_min = keys.min(axis=0)
+    key_max = keys.max(axis=0)
+    diff_col = key_min ^ key_max
+
     def body(i, Ts):
         # Resolve key bits [b, b+w) this pass (MSB-first).
         b = bits - (i + 1) * w
-        out = []
-        for T, k in zip(Ts, ks):
-            best = T
-            for q in range(1, 1 << w):
-                cand = T | (jnp.asarray(q, uint_t) << b)
-                # elements strictly below the candidate prefix; counts are
-                # monotone in q, so the largest feasible q wins.
-                cnt = jnp.sum(keys < cand[None], axis=0, dtype=jnp.int32)
-                best = jnp.where(cnt <= k, cand, best)
-            out.append(best)
-        return tuple(out)
+        seg_mask = (jnp.asarray((1 << w) - 1, uint_t)) << b
+
+        def count_pass(Ts):
+            out = []
+            for T, k in zip(Ts, ks):
+                best = T
+                for q in range(1, 1 << w):
+                    cand = T | (jnp.asarray(q, uint_t) << b)
+                    # elements strictly below the candidate prefix; counts
+                    # are monotone in q, so the largest feasible q wins.
+                    cnt = jnp.sum(keys < cand[None], axis=0, dtype=jnp.int32)
+                    best = jnp.where(cnt <= k, cand, best)
+                out.append(best)
+            return tuple(out)
+
+        def skip_pass(Ts):
+            return tuple(T | (key_min & seg_mask) for T in Ts)
+
+        # In the shared prefix iff NO column has a differing bit at or above
+        # position b (passes above b have then all been skipped as well, so
+        # the prefix invariant holds).
+        in_prefix = ~jnp.any((diff_col >> b) != 0)
+        return jax.lax.cond(in_prefix, skip_pass, count_pass, Ts)
 
     Ts = jax.lax.fori_loop(0, n_passes, body, init)
     return tuple(_key_to_float(T, x.dtype) for T in Ts)

@@ -156,22 +156,27 @@ def nbinom_glm_batch(
     # freezes once its per-iteration objective decrease drops below a
     # dtype-scaled relative ftol (10*eps*(|f|+1) of the cnst-scaled
     # objective — same role as scipy L-BFGS-B's ftol stop the reference
-    # relies on, pydeseq2/utils.py:1111-1124), or once its backtracking
-    # finds no improving step (an absorbing state: the identical
-    # grad/Hessian/step would be recomputed forever). The loop ends when
-    # every lane is frozen. Sub-ftol progress is f32 eval noise, and the
-    # gradient-gated Newton polish below independently drives the iterate
-    # to the f32 gradient floor, so the freeze does not change what the
-    # polish converges to. (The previous fixed maxiter x 16 full-width
-    # schedule spent ~4x the evals re-processing converged lanes.)
+    # relies on, pydeseq2/utils.py:1111-1124) on TWO CONSECUTIVE steps, or
+    # once its backtracking finds no improving step (an absorbing state:
+    # the identical grad/Hessian/step would be recomputed forever). The
+    # two-step requirement guards against freezing a lane whose single
+    # sub-ftol decrease was objective EVAL NOISE rather than convergence —
+    # f32 objective differences near optima are unreliable on TPU (see
+    # CLAUDE.md), and a still-moving lane re-arms the counter. The loop
+    # ends when every lane is frozen. Sustained sub-ftol progress is eval
+    # noise, and the gradient-gated Newton polish below independently
+    # drives the iterate to the f32 gradient floor, so the freeze does not
+    # change what the polish converges to. (The previous fixed maxiter x 16
+    # full-width schedule spent ~4x the evals re-processing converged
+    # lanes.)
     ftol = 10.0 * float(jnp.finfo(dtype).eps)
 
     def outer_cond(state):
-        _, _, i, done = state
+        _, _, i, done, _ = state
         return (~jnp.all(done)) & (i < maxiter)
 
     def body(state):
-        beta, f_val, i, done = state
+        beta, f_val, i, done, prev_small = state
         g = _grad(beta, X, counts, size, offset, pns, ps, shrink_index) / cnst[:, None]
         H = _hess(beta, X, counts, size, offset, pns, ps, shrink_index) / cnst[:, None, None]
         Hd = H + 1e-10 * jnp.eye(P, dtype=dtype)[None]
@@ -192,18 +197,18 @@ def nbinom_glm_batch(
         )
         beta_new = jnp.where(done[:, None], beta, beta_new)
         f_new = jnp.where(done, f_val, f_new)
-        done = done | ~improved | (
-            (f_val - f_new) < ftol * (jnp.abs(f_new) + 1.0)
-        )
-        return beta_new, f_new, i + 1, done
+        small = (f_val - f_new) < ftol * (jnp.abs(f_new) + 1.0)
+        done = done | ~improved | (small & prev_small)
+        return beta_new, f_new, i + 1, done, small
 
-    beta, f_val, _, _ = jax.lax.while_loop(
+    beta, f_val, _, _, _ = jax.lax.while_loop(
         outer_cond,
         body,
         (
             beta_init,
             f(beta_init),
             jnp.asarray(0, jnp.int32),
+            jnp.zeros((G,), bool),
             jnp.zeros((G,), bool),
         ),
     )

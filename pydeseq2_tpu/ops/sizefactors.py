@@ -39,6 +39,7 @@ def trimmed_sf_newton(
     quant: float = 0.95,
     outer_iters: int = 6,
     newton_iters: int = 8,
+    mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Minimise the trimmed NB NLL over per-sample log size factors.
 
@@ -51,6 +52,9 @@ def trimmed_sf_newton(
     quant : trim quantile — genes with per-gene NLL at or above the
         ``quant`` quantile are excluded from the sum (reference
         pydeseq2/dds.py:1497-1499).
+    mask : (G,) bool, optional — restrict the objective to these gene lanes
+        (masked batch execution: callers that keep all-zero / padding lanes
+        in the tile pass the non-zero mask instead of compacting).
 
     Returns the optimized (N,) log size factors, NOT recentred (the caller
     subtracts the mean, reference dds.py:1530-1532).
@@ -61,8 +65,22 @@ def trimmed_sf_newton(
     def keep_mask(log_sf):
         mu = base_mu * jnp.exp(log_sf)[None, :]
         per_gene = nb_nll(y, mu, disp)  # (G,)
-        q = jnp.quantile(per_gene, quant)
-        return per_gene < q
+        if mask is None:
+            q = jnp.quantile(per_gene, quant)
+            return per_gene < q
+        # Masked quantile with np.quantile's linear interpolation between
+        # order statistics (the reference evaluates np.quantile on the
+        # non-zero-gene subset, pydeseq2/dds.py:1497-1499): excluded lanes
+        # sort to +inf and the interpolation indices use the valid count.
+        pg = jnp.where(mask, per_gene, jnp.inf)
+        s = jnp.sort(pg)
+        n_valid = mask.sum()
+        h = (n_valid - 1).astype(pg.dtype) * quant
+        lo = jnp.floor(h).astype(jnp.int32)
+        hi = jnp.ceil(h).astype(jnp.int32)
+        frac = h - lo.astype(pg.dtype)
+        q = s[lo] * (1.0 - frac) + s[hi] * frac
+        return (per_gene < q) & mask
 
     def newton_step(log_sf, keep):
         mu = base_mu * jnp.exp(log_sf)[None, :]
@@ -84,3 +102,144 @@ def trimmed_sf_newton(
 
     log_sf, _ = jax.lax.scan(outer, log_sf0, None, length=outer_iters)
     return log_sf
+
+
+@partial(
+    jax.jit,
+    static_argnames=("niter", "quant", "min_disp", "max_disp", "min_mu"),
+)
+def iterative_size_factors(
+    counts: jnp.ndarray,
+    gene_mask: jnp.ndarray | None = None,
+    niter: int = 10,
+    quant: float = 0.95,
+    min_disp: float = 1e-8,
+    max_disp: float = 10.0,
+    min_mu: float = 0.5,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Full iterative (trimmed-likelihood MLE) size factors as ONE program.
+
+    Device-native equivalent of the reference's ``_fit_iterate_size_factors``
+    (pydeseq2/dds.py:1460-1548) — the fallback normalization when
+    median-of-ratios is undefined because every gene has a zero
+    (pydeseq2/dds.py:682-690). Alternates, under an intercept-only design:
+
+    1. genewise NB dispersion MLE at the current size factors (MoM init, OLS
+       mu init, Cox-Reid regularized — the same stage sequence the staged
+       ``fit_genewise_dispersions`` runs);
+    2. constant "trend" = 0.001-trimmed mean of the informative genewise
+       dispersions (dds.py:1493);
+    3. dispersion prior variance from the MAD of log residuals
+       (dds.py:840-884) and MAP dispersions with the shrinkage-outlier rule
+       (dds.py:886-935);
+    4. a batched per-sample Newton solve of the trimmed NLL over log size
+       factors (:func:`trimmed_sf_newton` — the objective separates per
+       sample, see the module docstring);
+
+    until the log-size-factor update has squared norm < 1e-4 (checked from
+    the third iteration on, as the staged loop does) or ``niter`` rounds.
+
+    The whole loop is a ``lax.while_loop`` in a single jit program: no
+    host round-trips (the axon tunnel costs ~50 ms per dispatch), and the
+    gene axis shards over the device mesh like every other (G, N) stage.
+    Peak extra memory is O(G x N) temporaries (same order as the fused
+    pipeline's dispersion stage).
+
+    Parameters
+    ----------
+    counts : (G, N) gene-major raw counts (float dtype).
+    gene_mask : (G,) bool, optional — False for padding lanes.
+
+    Returns
+    -------
+    size_factors : (N,) — recentred to mean-zero log, like the reference.
+    n_iters : scalar int32 — outer iterations executed (diagnostics).
+    """
+    from jax.scipy.special import polygamma
+
+    from pydeseq2_tpu.ops.dispersion import alpha_mle_batch
+    from pydeseq2_tpu.ops.linreg import (
+        fit_lin_mu_batch,
+        fit_moments_dispersions_batch,
+        fit_rough_dispersions_batch,
+    )
+    from pydeseq2_tpu.ops.stats import trimmed_mean_masked
+
+    G, N = counts.shape
+    dtype = counts.dtype
+    if gene_mask is None:
+        gene_mask = jnp.ones((G,), dtype=bool)
+    X = jnp.ones((N, 1), dtype)  # intercept-only design (dds.py:1478-1484)
+    non_zero = (counts > 0).any(axis=1) & gene_mask
+    # residual dof under the intercept-only design: (N - 1) / 2
+    polyg = polygamma(1, jnp.asarray((N - 1) / 2.0, dtype))
+    mad_scale = 0.6744897501960817  # Phi^{-1}(0.75)
+
+    def iteration(log_sf):
+        sf = jnp.exp(log_sf)
+        normed = counts / sf[None, :]
+        rough = fit_rough_dispersions_batch(normed, X)
+        momd = fit_moments_dispersions_batch(normed, sf)
+        mom = jnp.clip(jnp.minimum(rough, momd), min_disp, max_disp)
+        mu_hat = fit_lin_mu_batch(counts, sf, X, min_mu)
+        genewise, _ = alpha_mle_batch(
+            counts, X, mu_hat, mom, min_disp, max_disp, cr_reg=True
+        )
+        genewise = jnp.clip(genewise, min_disp, max_disp)
+
+        informative = (genewise > 10.0 * min_disp) & non_zero
+        any_informative = informative.any()
+        fitted = trimmed_mean_masked(genewise, informative, 0.001)
+        fitted = jnp.maximum(fitted, min_disp)
+
+        resid = jnp.log(genewise) - jnp.log(fitted)
+        above = (genewise >= 100.0 * min_disp) & non_zero
+        resid_sel = jnp.where(above, resid, jnp.nan)
+        center = jnp.nanmedian(resid_sel)
+        mad = jnp.nanmedian(jnp.abs(resid_sel - center)) / mad_scale
+        squared_logres = mad**2
+        prior_disp_var = jnp.maximum(squared_logres - polyg, 0.25)
+
+        map_disp, _ = alpha_mle_batch(
+            counts,
+            X,
+            mu_hat,
+            jnp.full((G,), 1.0, dtype) * fitted,
+            min_disp,
+            max_disp,
+            prior_disp_var=prior_disp_var,
+            cr_reg=True,
+            prior_reg=True,
+        )
+        map_disp = jnp.clip(map_disp, min_disp, max_disp)
+        outlier = jnp.log(genewise) > jnp.log(fitted) + 2.0 * jnp.sqrt(
+            squared_logres
+        )
+        disp = jnp.where(outlier, genewise, map_disp)
+        disp = jnp.where(non_zero, disp, 1.0)  # masked lanes: any finite value
+
+        base_mu = mu_hat * jnp.exp(-log_sf)[None, :]
+        raw = trimmed_sf_newton(
+            counts, base_mu, disp, log_sf, quant=quant, mask=non_zero
+        )
+        return raw - raw.mean(), any_informative
+
+    def cond(carry):
+        it, _, done = carry
+        return (it < niter) & ~done
+
+    def body(carry):
+        it, log_sf, _ = carry
+        new_log_sf, any_informative = iteration(log_sf)
+        delta = ((log_sf - new_log_sf) ** 2).sum()
+        # staged loop: break when it > 1 and the update is tiny
+        # (models/dataset.py:_fit_iterate_size_factors), or when no gene is
+        # informative (dds.py:1490-1495 prints and stops).
+        done = ((it > 1) & (delta < 1e-4)) | ~any_informative
+        log_sf = jnp.where(any_informative, new_log_sf, log_sf)
+        return it + 1, log_sf, done
+
+    it, log_sf, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), jnp.zeros((N,), dtype), False)
+    )
+    return jnp.exp(log_sf), it

@@ -34,6 +34,12 @@ def trimmed_mean(x: jnp.ndarray, trim: float = 0.1, axis: int = 0) -> jnp.ndarra
     kept multiset, only the fp summation order differs): at atlas sample
     counts the per-column bitonic sorts dominated the Cook's stage
     (~178 exchange stages at n=10k vs ~33 count passes).
+
+    Inputs must be FINITE: on the select path (n >= 1024) a NaN entry is
+    silently dropped from the interior sum (comparisons are false) instead
+    of propagating NaN like the sort path would — every caller feeds
+    normalized counts / squared residuals, which are finite by
+    construction.
     """
     x = jnp.asarray(x)
     n = x.shape[axis]

@@ -180,3 +180,158 @@ def test_run_deseq2_mesh_matches_unsharded():
                 sharded[col].values, base[col].values, rtol=1e-7,
                 equal_nan=True, err_msg=f"refit={refit} {col}",
             )
+
+
+# ------------------------------------------------- normalization modes
+# Parity: reference pydeseq2/dds.py:584-711 (size_factors_fit_type /
+# control_genes / the ratio->iterative auto-switch at dds.py:682-690),
+# exposed on the one-call path and streamed wrapper.
+def test_run_deseq2_poscounts_matches_r(counts_df, metadata):
+    from pydeseq2_tpu import run_deseq2
+    from tests.conftest import data_path
+
+    r_sf = pd.read_csv(
+        data_path("single_factor", "r_test_size_factors_poscount.csv"),
+        index_col=0,
+    ).squeeze()
+    for refit in (False, True):
+        res, state = run_deseq2(
+            counts_df,
+            metadata,
+            design="~condition",
+            contrast=["condition", "B", "A"],
+            size_factors_fit_type="poscounts",
+            refit_cooks=refit,
+            return_state=True,
+        )
+        sf = np.asarray(state["size_factors"])
+        rel = (abs(r_sf.values - sf) / abs(r_sf.values)).max()
+        assert rel < 0.02, (refit, rel)
+        assert np.isfinite(res["pvalue"].dropna()).all()
+
+
+def test_run_deseq2_iterative_matches_r(counts_df, metadata):
+    from pydeseq2_tpu import run_deseq2
+    from tests.conftest import data_path
+
+    r_sf = pd.read_csv(
+        data_path("single_factor", "r_iterative_size_factors.csv"), index_col=0
+    ).squeeze()
+    res, state = run_deseq2(
+        counts_df,
+        metadata,
+        design="~condition",
+        contrast=["condition", "B", "A"],
+        size_factors_fit_type="iterative",
+        refit_cooks=False,
+        return_state=True,
+    )
+    sf = np.asarray(state["size_factors"])
+    rel = (abs(r_sf.values - sf) / abs(r_sf.values)).max()
+    assert rel < 0.02, rel
+
+
+def test_run_deseq2_control_genes_matches_staged(counts_df, metadata):
+    from pydeseq2_tpu import DeseqDataSet, run_deseq2
+
+    dds = DeseqDataSet(
+        counts=counts_df, metadata=metadata, design="~condition", quiet=True
+    )
+    dds.fit_size_factors(control_genes=["gene1", "gene3"])
+    expected = dds.obs["size_factors"].values
+
+    _, state = run_deseq2(
+        counts_df,
+        metadata,
+        design="~condition",
+        contrast=["condition", "B", "A"],
+        control_genes=["gene1", "gene3"],
+        refit_cooks=False,
+        return_state=True,
+    )
+    np.testing.assert_allclose(np.asarray(state["size_factors"]), expected, rtol=1e-6)
+
+
+def test_run_deseq2_zero_inflated_switches_to_iterative(counts_df, metadata):
+    """Ratio undefined -> the reference's iterative-mode switch (with its
+    warning), not a poscounts deviation (reference dds.py:682-690)."""
+    from pydeseq2_tpu import run_deseq2
+
+    rng = np.random.RandomState(42)
+    rows = rng.choice(len(counts_df), counts_df.shape[-1])
+    zi = counts_df.copy()
+    zi.iloc[rows, :] = 0
+
+    with pytest.warns(UserWarning, match="Switching to iterative mode"):
+        res = run_deseq2(
+            zi,
+            metadata,
+            design="~condition",
+            contrast=["condition", "B", "A"],
+            refit_cooks=False,
+        )
+    assert np.isfinite(res["pvalue"].dropna()).all()
+
+
+def test_streamed_zero_inflated_switches_to_iterative(counts_df, metadata):
+    """run_summary_streamed's ratio-undefined fallback is the device
+    iterative solver, matching the staged result.
+
+    Zeros are scattered (one distinct sample per gene) so every gene has a
+    zero — triggering the switch — while the trimmed-likelihood optimum
+    stays well-posed (an all-zero SAMPLE's optimal factor is 0, where both
+    the reference's Powell and any solver stop at an arbitrary tiny value).
+    """
+    import jax.numpy as jnp
+
+    from pydeseq2_tpu import DeseqDataSet
+    from pydeseq2_tpu.fused_stream import run_summary_streamed
+
+    zi = counts_df.copy()
+    for j in range(zi.shape[1]):
+        zi.iloc[(7 * j) % len(zi), j] = 0
+
+    dds = DeseqDataSet(
+        counts=zi, metadata=metadata, design="~condition", quiet=True
+    )
+    with pytest.warns(UserWarning, match="Switching to iterative mode"):
+        dds.fit_size_factors()
+    expected = dds.obs["size_factors"].values
+
+    with pytest.warns(UserWarning, match="Switching to iterative mode"):
+        res = run_summary_streamed(
+            jnp.asarray(zi.values.T.astype(float)),
+            dds.obsm["design_matrix"].values,
+            np.array([0.0, 1.0]),
+            dtype=np.float64,
+            max_disp=float(max(10, len(zi))),
+        )
+    # Same trimmed-likelihood optimum (solver-path differences only: staged
+    # <=500 samples uses scipy Powell, the streamed program the batched
+    # Newton on the separable objective).
+    rel = (abs(res["size_factors"] - expected) / abs(expected)).max()
+    assert rel < 0.02, rel
+    assert np.isfinite(res["p_values"][np.asarray(res["base_mean"]) > 0]).any()
+
+
+def test_streamed_explicit_iterative_sf(counts_df, metadata):
+    from pydeseq2_tpu import DeseqDataSet
+    from pydeseq2_tpu.fused_stream import run_summary_streamed
+    from tests.conftest import data_path
+
+    r_sf = pd.read_csv(
+        data_path("single_factor", "r_iterative_size_factors.csv"), index_col=0
+    ).squeeze()
+    dds = DeseqDataSet(
+        counts=counts_df, metadata=metadata, design="~condition", quiet=True
+    )
+    res = run_summary_streamed(
+        np.asarray(counts_df.values.T, float),
+        dds.obsm["design_matrix"].values,
+        np.array([0.0, 1.0]),
+        dtype=np.float64,
+        sf_fit_type="iterative",
+        max_disp=float(max(10, len(counts_df))),
+    )
+    rel = (abs(res["size_factors"] - r_sf.values) / abs(r_sf.values)).max()
+    assert rel < 0.02, rel

@@ -169,15 +169,12 @@ def test_streamed_sample_blocked_size_factors(counts_df, metadata):
     )
 
 
-def test_streamed_zero_inflated_switches_to_poscounts():
-    """Zero-inflated data (a zero in every gene) falls back to in-stream
-    poscounts normalization with a warning, and the analysis completes.
-
-    The reference switches ratio -> iterative size factors in this regime
-    (pydeseq2/dds.py:682-690); the streamed path's scalable equivalent is
-    the poscounts estimator (the iterative device solver can be injected
-    via size_factors= for exact parity).
-    """
+def test_streamed_zero_inflated_switches_to_iterative():
+    """Zero-inflated data (a zero in every gene) falls back to the device
+    iterative size-factor solver with the reference's warning, and the
+    analysis completes (reference ratio -> iterative switch,
+    pydeseq2/dds.py:682-690; device solver
+    ops/sizefactors.py::iterative_size_factors)."""
     import pytest
 
     rng = np.random.default_rng(0)
@@ -187,7 +184,7 @@ def test_streamed_zero_inflated_switches_to_poscounts():
     # reference either).
     counts[np.arange(24), np.arange(24) % 12] = 0.0
     X = np.column_stack([np.ones(12), rng.integers(0, 2, 12)]).astype(float)
-    with pytest.warns(UserWarning, match="poscounts"):
+    with pytest.warns(UserWarning, match="Switching to iterative mode"):
         out = run_summary_streamed(
             counts, X, [0.0, 1.0], gene_block=8, dtype=np.float64
         )
