@@ -229,6 +229,155 @@ def nb_nll_centered(
     return per.sum(-1)
 
 
+def _digamma_stirling8(z: jnp.ndarray) -> jnp.ndarray:
+    """psi(z) = d/dz lgamma(z), exactly the autodiff derivative of
+    :func:`_lgamma_stirling8` (8-step shift + asymptotic series): log and
+    divides only."""
+    w = z + 8.0
+    iw = 1.0 / w
+    iw2 = iw * iw
+    recip = (
+        1.0 / z
+        + 1.0 / (z + 1.0)
+        + 1.0 / (z + 2.0)
+        + 1.0 / (z + 3.0)
+        + 1.0 / (z + 4.0)
+        + 1.0 / (z + 5.0)
+        + 1.0 / (z + 6.0)
+        + 1.0 / (z + 7.0)
+    )
+    series = iw2 * ((1.0 / 12.0) - iw2 * ((1.0 / 120.0) - iw2 * (1.0 / 252.0)))
+    return jnp.log(w) - 0.5 * iw - series - recip
+
+
+def _trigamma_stirling8(z: jnp.ndarray) -> jnp.ndarray:
+    """psi'(z), the derivative of :func:`_digamma_stirling8`: divides only."""
+    w = z + 8.0
+    iw = 1.0 / w
+    iw2 = iw * iw
+    recip2 = (
+        1.0 / z**2
+        + 1.0 / (z + 1.0) ** 2
+        + 1.0 / (z + 2.0) ** 2
+        + 1.0 / (z + 3.0) ** 2
+        + 1.0 / (z + 4.0) ** 2
+        + 1.0 / (z + 5.0) ** 2
+        + 1.0 / (z + 6.0) ** 2
+        + 1.0 / (z + 7.0) ** 2
+    )
+    series = iw * iw2 * ((1.0 / 6.0) - iw2 * ((1.0 / 30.0) - iw2 * (1.0 / 42.0)))
+    return iw + 0.5 * iw2 + series + recip2
+
+
+def _digamma_fast(z: jnp.ndarray):
+    """Dtype-gated (psi, psi'): Stirling-shift forms in f32 (matching
+    :func:`_lgamma_fast`'s autodiff chain), library digamma/polygamma in
+    f64 (matching the library gammaln's autodiff chain)."""
+    if z.dtype == jnp.float32:
+        return _digamma_stirling8(z), _trigamma_stirling8(z)
+    from jax.scipy.special import digamma, polygamma
+
+    return digamma(z), polygamma(1, z)
+
+
+def nb_nll_centered_fgh(
+    counts: jnp.ndarray, mu: jnp.ndarray, la: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    r"""Value, gradient and curvature of :func:`nb_nll_centered` in log-alpha.
+
+    Closed-form (f, g, h) with g = df/d(la), h = d^2 f/d(la)^2, la =
+    log(alpha), per lane — the same dual-branch (r >= 8 Stirling-difference
+    vs plain) selection and the same dtype-gated lgamma/digamma
+    approximations autodiff would differentiate through, but evaluated in
+    ONE pass with the transcendentals (lgamma/psi of y + r, two log1p)
+    shared across f, g and h. The dispersion Newton previously obtained
+    (f, g, h) by a jvp-over-vjp of the objective, whose generated chain
+    cost ~8x a plain objective evaluation on TPU (measured 11.6 ms vs 1.5
+    ms per (6000, 10000) f32 pass); this form is ~2.5x a plain evaluation.
+
+    Derivatives use dr/d(la) = -r, du/d(la) = u, dv/d(la) = v for
+    u = y/r, v = mu/r. Validated against jax.jvp/vjp of the objective in
+    tests/test_ops.py (f64 to 1e-9 relative, f32 to 1e-4).
+    """
+    counts = jnp.asarray(counts)
+    mu = jnp.asarray(mu)
+    r = jnp.exp(-la)[..., None]
+    y = counts
+
+    u = y / r
+    v = mu / r
+    l1p_u = jnp.log1p(u)
+    l1p_v = jnp.log1p(v)
+    yr = y + r
+    s_u = y / yr  # u/(1+u)
+    s_v = mu / (mu + r)  # v/(1+v)
+    q_u = y * r / yr**2  # d s_u / d la
+    q_v = mu * r / (mu + r) ** 2  # d s_v / d la
+
+    # ---- stable branch (r >= 8): Stirling-difference form -----------------
+    iyr = 1.0 / yr
+    iyr2 = iyr * iyr
+    ir = 1.0 / r
+    ir3 = ir * ir * ir
+    f_st = (
+        -r * (l1p_u - u)
+        - (y - 0.5) * l1p_u
+        + r * (l1p_v - v)
+        + y * l1p_v
+        + y * ir * iyr / 12.0
+        + (iyr2 * iyr - ir3) / 360.0
+    )
+    # T5 = y/(12 r yr): dT5 = y (y + 2r) / (12 r yr^2)
+    dT5 = y * (y + 2.0 * r) * ir * iyr2 / 12.0
+    # T6 = (yr^-3 - r^-3)/360: dT6 = (r yr^-4 - r^-3)/120
+    dT6 = (r * iyr2 * iyr2 - ir3) / 120.0
+    g_st = (
+        r * (l1p_u - s_u)
+        - (y - 0.5) * s_u
+        - r * (l1p_v - s_v)
+        + y * s_v
+        + dT5
+        + dT6
+    )
+    # d2T5 = y (y^2 + 3 r y + 4 r^2) / (12 r yr^3)
+    d2T5 = y * (y * y + 3.0 * r * y + 4.0 * r * r) * ir * iyr2 * iyr / 12.0
+    # d2T6 = (-r yr^-4 + 4 r^2 yr^-5 - 3 r^-3)/120
+    d2T6 = (-r * iyr2 * iyr2 + 4.0 * r * r * iyr2 * iyr2 * iyr - 3.0 * ir3) / 120.0
+    h_st = (
+        -r * (l1p_u - s_u)
+        + r * (s_u - q_u)
+        - (y - 0.5) * q_u
+        + r * (l1p_v - s_v)
+        - r * (s_v - q_v)
+        + y * q_v
+        + d2T5
+        + d2T6
+    )
+
+    # ---- plain branch (r < 8) ---------------------------------------------
+    log_r = jnp.log(r)
+    lg_yr = _lgamma_fast(yr)
+    lg_r = gammaln(r)
+    psi_yr, tri_yr = _digamma_fast(yr)
+    psi_r, tri_r = _digamma_fast(r)
+    f_pl = -r * log_r - lg_yr + lg_r + yr * (log_r + l1p_v) - mu
+    # (y + r)/(mu + r) = s_v + (y - mu + mu... ) -> use yr/(mu+r) directly
+    yr_over = yr / (mu + r)
+    g_pl = r * (1.0 + psi_yr - psi_r - l1p_v - yr_over)
+    h_pl = (
+        r * (l1p_v - 1.0 - s_v + psi_r - psi_yr)
+        + r * r * (tri_r - tri_yr)
+        + r * (y + 2.0 * r) / (mu + r)
+        - r * r * yr / (mu + r) ** 2
+    )
+
+    sel = r < _R_SWITCH
+    f = jnp.where(sel, f_pl, f_st).sum(-1)
+    g = jnp.where(sel, g_pl, g_st).sum(-1)
+    h = jnp.where(sel, h_pl, h_st).sum(-1)
+    return f, g, h
+
+
 def dnb_nll(counts: jnp.ndarray, mu: jnp.ndarray, alpha) -> jnp.ndarray:
     """Batched gradient of :func:`nb_nll` with respect to ``alpha``.
 

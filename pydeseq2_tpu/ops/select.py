@@ -97,6 +97,12 @@ def order_stats_select(
     keys = _monotone_key(x)
     if axis != 0:
         keys = jnp.moveaxis(keys, axis, 0)
+    if keys.shape[0] == 0:
+        # Zero-size selection axis: every order statistic of an empty set is
+        # NaN (np.median on an empty slice), and the min/max prefix reduces
+        # below have no identity.
+        nan = jnp.full(keys.shape[1:], jnp.nan, x.dtype)
+        return tuple(nan for _ in ranks)
     # Materialize the keys once: without the barrier XLA rematerializes the
     # whole key-derivation chain (log-ratios, masking, bitcast) into EVERY
     # bisection pass when this runs inside a larger program (measured: the

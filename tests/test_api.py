@@ -237,15 +237,19 @@ def test_run_deseq2_control_genes_matches_staged(counts_df, metadata):
     dds = DeseqDataSet(
         counts=counts_df, metadata=metadata, design="~condition", quiet=True
     )
-    dds.fit_size_factors(control_genes=["gene1", "gene3"])
+    # Control genes must be zero-free for the ratio estimator (the reference
+    # silently NaNs otherwise: the filtered-genes intersection is empty).
+    zero_free = counts_df.columns[(counts_df > 0).all(axis=0)][:2].tolist()
+    dds.fit_size_factors(control_genes=zero_free)
     expected = dds.obs["size_factors"].values
+    assert np.isfinite(expected).all()
 
     _, state = run_deseq2(
         counts_df,
         metadata,
         design="~condition",
         contrast=["condition", "B", "A"],
-        control_genes=["gene1", "gene3"],
+        control_genes=zero_free,
         refit_cooks=False,
         return_state=True,
     )

@@ -337,3 +337,90 @@ def test_trimmed_mean_select_matches_sort_kernel():
         got2 = np.asarray(trimmed_mean_select(jnp.asarray(x2), 1 / 8, axis=0))
         s2 = np.sort(x2, axis=0)
         np.testing.assert_allclose(got2, s2[256:-256].mean(0), rtol=1e-6)
+
+
+def test_closed_form_fgh_matches_autodiff():
+    """ops/nb.py::nb_nll_centered_fgh (+ the Cox-Reid/prior closed-form
+    pieces in the dispersion Newton) must equal jax autodiff of the same
+    objective: f64 to 1e-9 relative, f32 near-exact too (same approximation
+    chains, different evaluation order)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pydeseq2_tpu.ops.dispersion import _alpha_objective
+    from pydeseq2_tpu.ops.nb import nb_nll_centered_fgh
+    from pydeseq2_tpu.ops.smalllinalg import sym_inv, sym_logdet
+
+    rng = np.random.default_rng(3)
+    G, N, P = 64, 37, 2
+    base = rng.lognormal(2.0, 1.5, size=G)
+    mu = np.maximum(
+        base[:, None] * rng.lognormal(0.0, 0.3, size=(G, N)), 0.5
+    )
+    disp = np.clip(rng.lognormal(-2.0, 1.5, size=G), 1e-6, 20.0)
+    counts = rng.negative_binomial(
+        1 / disp[:, None], 1 / (1 + disp[:, None] * mu)
+    ).astype(float)
+    X = np.column_stack([np.ones(N), rng.integers(0, 2, N)]).astype(float)
+    # spread la over BOTH branches incl. near the r=8 switch
+    la = rng.uniform(np.log(1e-7), np.log(20.0), size=G)
+
+    for dtype, rtol in ((jnp.float64, 1e-9), (jnp.float32, 2e-4)):
+        c = jnp.asarray(counts, dtype)
+        m = jnp.asarray(mu, dtype)
+        Xd = jnp.asarray(X, dtype)
+        lad = jnp.asarray(la, dtype)
+        lah = jnp.asarray(np.log(np.clip(disp, 1e-8, 10.0)), dtype)
+        for cr_reg, prior_reg in ((False, False), (True, False), (True, True)):
+
+            def obj(la_):
+                return _alpha_objective(
+                    la_, c, Xd, m, lah, jnp.asarray(0.7, dtype), cr_reg,
+                    prior_reg,
+                )
+
+            def obj_and_grad(la_):
+                f, vjp_fn = jax.vjp(obj, la_)
+                (g,) = vjp_fn(jnp.ones_like(f))
+                return f, g
+
+            (f_ad, g_ad), (_, h_ad) = jax.jvp(
+                obj_and_grad, (lad,), (jnp.ones_like(lad),)
+            )
+
+            f, g, h = nb_nll_centered_fgh(c, m, lad)
+            if cr_reg:
+                a = jnp.exp(lad)[:, None]
+                W = m / (1.0 + m * a)
+                Wd1 = -a * W * W
+                Wd2 = Wd1 * (1.0 - 2.0 * a * W)
+                M = jnp.einsum("gn,np,nq->gpq", W, Xd, Xd)
+                M1 = jnp.einsum("gn,np,nq->gpq", Wd1, Xd, Xd)
+                M2 = jnp.einsum("gn,np,nq->gpq", Wd2, Xd, Xd)
+                Minv = sym_inv(M)
+                A = jnp.einsum("gpq,gqr->gpr", Minv, M1)
+                f = f + 0.5 * sym_logdet(M)
+                g = g + 0.5 * jnp.einsum("gpp->g", A)
+                h = h + 0.5 * (
+                    jnp.einsum("gpq,gqp->g", Minv, M2)
+                    - jnp.einsum("gpq,gqp->g", A, A)
+                )
+            if prior_reg:
+                d = lad - lah
+                f = f + d * d / (2.0 * jnp.asarray(0.7, dtype))
+                g = g + d / jnp.asarray(0.7, dtype)
+                h = h + 1.0 / jnp.asarray(0.7, dtype)
+
+            scale_f = np.abs(np.asarray(f_ad)) + 1.0
+            np.testing.assert_allclose(
+                np.asarray(f), np.asarray(f_ad), rtol=rtol, atol=rtol,
+                err_msg=f"f {dtype} cr={cr_reg} prior={prior_reg}",
+            )
+            for name, got, want in (("g", g, g_ad), ("h", h, h_ad)):
+                np.testing.assert_allclose(
+                    np.asarray(got) / scale_f,
+                    np.asarray(want) / scale_f,
+                    rtol=rtol,
+                    atol=10 * rtol,
+                    err_msg=f"{name} {dtype} cr={cr_reg} prior={prior_reg}",
+                )
