@@ -296,14 +296,28 @@ def alpha_mle_batch(
     # enough not to jump basins (acceptance still requires descent).
     clipw = jnp.asarray(step1_f, dtype)
 
-    def fgh(la):
+    def fgh_autodiff(la):
+        # (f, g, h) by one jvp-over-vjp call: faster than the closed form
+        # in the SMALL-N (latency-bound) regime, where the closed form's
+        # extra per-element intermediates cost more than the autodiff
+        # chain (measured at 60000x100 f32: 34/29 ms genewise/MAP vs
+        # 41/36 closed-form).
+        def obj_and_grad(la_):
+            f_, vjp_fn = jax.vjp(obj, la_)
+            (g_,) = vjp_fn(jnp.ones_like(f_))
+            return f_, g_
+
+        (f, g), (_, h) = jax.jvp(obj_and_grad, (la,), (jnp.ones_like(la),))
+        return f, g, h
+
+    def fgh_closed(la):
         # Objective, gradient AND diagonal curvature of one point in ONE
         # closed-form pass (ops/nb.py::nb_nll_centered_fgh — the same
         # dual-branch forms and dtype-gated lgamma/digamma chains autodiff
         # would generate, with the transcendentals shared across f/g/h).
-        # The previous jvp-over-vjp evaluation generated a chain costing
-        # ~8x a plain objective pass on TPU (11.6 ms vs 1.5 ms per
-        # (6000, 10000) f32 call); this is ~2.5x. Validated against
+        # The jvp-over-vjp evaluation generates a chain costing ~8x a
+        # plain objective pass on TPU when N is large (11.6 ms vs 1.5 ms
+        # per (6000, 10000) f32 call); this is ~2.5x. Validated against
         # jax.jvp/vjp of the objective in tests/test_ops.py.
         f, g, h = nb_nll_centered_fgh(counts, mu, la)
         if cr_reg:
@@ -337,6 +351,12 @@ def alpha_mle_batch(
             g = g + d / pdv
             h = h + 1.0 / pdv
         return f, g, h
+
+    # Static shape dispatch: the closed form wins when the (G, N)
+    # transcendental work dominates (large N); the autodiff chain wins in
+    # the small-N regime (A/B on one chip: crossover ~N=512; both forms
+    # compute the same values, pinned by test_closed_form_fgh_matches_autodiff).
+    fgh = fgh_closed if counts.shape[1] >= 512 else fgh_autodiff
 
     def newton_body(i, state):
         la, f_best, g, h = state
