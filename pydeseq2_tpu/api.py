@@ -179,11 +179,18 @@ def run_deseq2(
     def _iterative_sf():
         from pydeseq2_tpu.ops.sizefactors import iterative_size_factors
 
+        n = counts_gm.shape[1]
+        # Gene-tile the solver's (G, N) stages past ~1 GB of counts (same
+        # HBM budget rule as the streamed pipeline's gene blocking).
+        sf_block = None
+        if G * n * np.dtype(dtype).itemsize > 1_000_000_000:
+            sf_block = int(max(1024, min(G, 4_000_000_000 // (80 * n))))
         sf, _ = iterative_size_factors(
             jnp.asarray(counts_gm, dtype),
             min_disp=min_disp,
             max_disp=max_disp,
             min_mu=min_mu,
+            gene_block=sf_block,
         )
         return sf
 

@@ -856,12 +856,21 @@ def run_summary_streamed(
             from pydeseq2_tpu.ops.sizefactors import iterative_size_factors
 
             valid = jnp.arange(G_phys) < G
+            # Same HBM live-temporary budget as the pipeline's own gene
+            # blocking: past ~1 GB of counts, tile the solver's (G, N)
+            # stages instead of materializing them whole-G.
+            sf_block = None
+            if G_phys * N * np.dtype(dtype).itemsize > 1_000_000_000:
+                sf_block = int(
+                    max(1024, min(G_phys, 4_000_000_000 // (80 * N)))
+                )
             sf_it, _ = iterative_size_factors(
                 jnp.asarray(counts),
                 valid,
                 min_disp=knobs.get("min_disp", 1e-8),
                 max_disp=knobs.get("max_disp", float(max(10, N))),
                 min_mu=knobs.get("min_mu", 0.5),
+                gene_block=sf_block,
             )
             knobs["size_factors"] = sf_it
             knobs["sf_fit_type"] = "ratio"  # unused once factors are injected

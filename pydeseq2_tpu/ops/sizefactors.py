@@ -106,7 +106,14 @@ def trimmed_sf_newton(
 
 @partial(
     jax.jit,
-    static_argnames=("niter", "quant", "min_disp", "max_disp", "min_mu"),
+    static_argnames=(
+        "niter",
+        "quant",
+        "min_disp",
+        "max_disp",
+        "min_mu",
+        "gene_block",
+    ),
 )
 def iterative_size_factors(
     counts: jnp.ndarray,
@@ -116,6 +123,7 @@ def iterative_size_factors(
     min_disp: float = 1e-8,
     max_disp: float = 10.0,
     min_mu: float = 0.5,
+    gene_block: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Full iterative (trimmed-likelihood MLE) size factors as ONE program.
 
@@ -149,6 +157,16 @@ def iterative_size_factors(
     ----------
     counts : (G, N) gene-major raw counts (float dtype).
     gene_mask : (G,) bool, optional — False for padding lanes.
+    gene_block : int, optional — gene-tile size for the BLOCKED execution
+        path: every (G, N)-shaped stage (dispersion fits, trimmed-NLL
+        gradients) runs as a sequential ``lax.map`` over ceil(G/B) tiles,
+        bounding live temporaries to O(B x N) while the per-gene scalar
+        vectors (dispersions, NLLs) stay O(G). Same program structure, same
+        math, different evaluation tiling — results match the whole-G path
+        to reduction-reassociation rounding. Use at atlas scale (e.g.
+        zero-inflated 60k x 10k f32, where whole-G temporaries would need
+        tens of GB); the streamed/one-call wrappers pick it automatically
+        from the same HBM budget as their own gene blocking.
 
     Returns
     -------
@@ -170,10 +188,49 @@ def iterative_size_factors(
     if gene_mask is None:
         gene_mask = jnp.ones((G,), dtype=bool)
     X = jnp.ones((N, 1), dtype)  # intercept-only design (dds.py:1478-1484)
-    non_zero = (counts > 0).any(axis=1) & gene_mask
     # residual dof under the intercept-only design: (N - 1) / 2
     polyg = polygamma(1, jnp.asarray((N - 1) / 2.0, dtype))
     mad_scale = 0.6744897501960817  # Phi^{-1}(0.75)
+
+    blocked = gene_block is not None and gene_block < G
+    if blocked:
+        B = int(gene_block)
+        n_blocks = -(-G // B)
+        Gp = n_blocks * B
+        counts_b = jnp.pad(counts, ((0, Gp - G), (0, 0))).reshape(
+            n_blocks, B, N
+        )
+        mask_p = jnp.pad(gene_mask, (0, Gp - G))
+        non_zero = (
+            jax.lax.map(lambda cb: (cb > 0).any(axis=1), counts_b).reshape(Gp)
+            & mask_p
+        )
+    else:
+        non_zero = (counts > 0).any(axis=1) & gene_mask
+
+    def _prior_stats(genewise):
+        """Shared per-iteration trend/prior scalars from the (G,) MLEs.
+
+        Mirrors the staged loop: 0.001-trimmed constant trend over the
+        informative genes (dds.py:1493), MAD-based prior variance
+        (dds.py:840-884), and the 2-sigma shrinkage-outlier rule.
+        """
+        informative = (genewise > 10.0 * min_disp) & non_zero
+        any_informative = informative.any()
+        fitted = trimmed_mean_masked(genewise, informative, 0.001)
+        fitted = jnp.maximum(fitted, min_disp)
+
+        resid = jnp.log(genewise) - jnp.log(fitted)
+        above = (genewise >= 100.0 * min_disp) & non_zero
+        resid_sel = jnp.where(above, resid, jnp.nan)
+        center = jnp.nanmedian(resid_sel)
+        mad = jnp.nanmedian(jnp.abs(resid_sel - center)) / mad_scale
+        squared_logres = mad**2
+        prior_disp_var = jnp.maximum(squared_logres - polyg, 0.25)
+        outlier = jnp.log(genewise) > jnp.log(fitted) + 2.0 * jnp.sqrt(
+            squared_logres
+        )
+        return any_informative, fitted, prior_disp_var, outlier
 
     def iteration(log_sf):
         sf = jnp.exp(log_sf)
@@ -187,18 +244,9 @@ def iterative_size_factors(
         )
         genewise = jnp.clip(genewise, min_disp, max_disp)
 
-        informative = (genewise > 10.0 * min_disp) & non_zero
-        any_informative = informative.any()
-        fitted = trimmed_mean_masked(genewise, informative, 0.001)
-        fitted = jnp.maximum(fitted, min_disp)
-
-        resid = jnp.log(genewise) - jnp.log(fitted)
-        above = (genewise >= 100.0 * min_disp) & non_zero
-        resid_sel = jnp.where(above, resid, jnp.nan)
-        center = jnp.nanmedian(resid_sel)
-        mad = jnp.nanmedian(jnp.abs(resid_sel - center)) / mad_scale
-        squared_logres = mad**2
-        prior_disp_var = jnp.maximum(squared_logres - polyg, 0.25)
+        any_informative, fitted, prior_disp_var, outlier = _prior_stats(
+            genewise
+        )
 
         map_disp, _ = alpha_mle_batch(
             counts,
@@ -212,9 +260,6 @@ def iterative_size_factors(
             prior_reg=True,
         )
         map_disp = jnp.clip(map_disp, min_disp, max_disp)
-        outlier = jnp.log(genewise) > jnp.log(fitted) + 2.0 * jnp.sqrt(
-            squared_logres
-        )
         disp = jnp.where(outlier, genewise, map_disp)
         disp = jnp.where(non_zero, disp, 1.0)  # masked lanes: any finite value
 
@@ -223,6 +268,111 @@ def iterative_size_factors(
             counts, base_mu, disp, log_sf, quant=quant, mask=non_zero
         )
         return raw - raw.mean(), any_informative
+
+    def iteration_blocked(log_sf):
+        # Same math as ``iteration``, tiled: each (G, N) stage sweeps the
+        # gene tiles sequentially (lax.map) so only one O(B x N) block of
+        # temporaries is live; the cross-gene state is the O(G) scalar
+        # vectors. base_mu is recomputed per block per sweep from the
+        # frozen outer log_sf instead of being stored as a (G, N) buffer.
+        sf = jnp.exp(log_sf)
+
+        def blk_genewise(cb):
+            normed = cb / sf[None, :]
+            rough = fit_rough_dispersions_batch(normed, X)
+            momd = fit_moments_dispersions_batch(normed, sf)
+            mom = jnp.clip(jnp.minimum(rough, momd), min_disp, max_disp)
+            mu_hat = fit_lin_mu_batch(cb, sf, X, min_mu)
+            gw, _ = alpha_mle_batch(
+                cb, X, mu_hat, mom, min_disp, max_disp, cr_reg=True
+            )
+            return jnp.clip(gw, min_disp, max_disp)
+
+        genewise = jax.lax.map(blk_genewise, counts_b).reshape(Gp)
+
+        any_informative, fitted, prior_disp_var, outlier = _prior_stats(
+            genewise
+        )
+
+        def blk_map(cb):
+            mu_hat = fit_lin_mu_batch(cb, sf, X, min_mu)
+            md, _ = alpha_mle_batch(
+                cb,
+                X,
+                mu_hat,
+                jnp.full((B,), 1.0, dtype) * fitted,
+                min_disp,
+                max_disp,
+                prior_disp_var=prior_disp_var,
+                cr_reg=True,
+                prior_reg=True,
+            )
+            return md
+
+        map_disp = jnp.clip(
+            jax.lax.map(blk_map, counts_b).reshape(Gp), min_disp, max_disp
+        )
+        disp = jnp.where(outlier, genewise, map_disp)
+        disp = jnp.where(non_zero, disp, 1.0)
+        disp_b = disp.reshape(n_blocks, B)
+        keep_shape = (n_blocks, B)
+
+        inv_sf = jnp.exp(-log_sf)
+
+        def blk_base_mu(cb):
+            return fit_lin_mu_batch(cb, sf, X, min_mu) * inv_sf[None, :]
+
+        def keep_mask(s):
+            es = jnp.exp(s)
+
+            def blk(args):
+                cb, db = args
+                mu = blk_base_mu(cb) * es[None, :]
+                return nb_nll(cb, mu, db)
+
+            pg = jax.lax.map(blk, (counts_b, disp_b)).reshape(Gp)
+            pg = jnp.where(non_zero, pg, jnp.inf)
+            srt = jnp.sort(pg)
+            n_valid = non_zero.sum()
+            h = (n_valid - 1).astype(pg.dtype) * quant
+            lo = jnp.floor(h).astype(jnp.int32)
+            hi = jnp.ceil(h).astype(jnp.int32)
+            frac = h - lo.astype(pg.dtype)
+            q = srt[lo] * (1.0 - frac) + srt[hi] * frac
+            return (pg < q) & non_zero
+
+        def newton_step(s, keep):
+            es = jnp.exp(s)
+
+            def blk(args):
+                cb, db, kb = args
+                mu = blk_base_mu(cb) * es[None, :]
+                rr = (1.0 / db)[:, None]
+                w = (cb + rr) / (mu + rr)
+                g = jnp.where(kb[:, None], mu * w - cb, 0.0).sum(axis=0)
+                h = jnp.where(
+                    kb[:, None], mu * rr * w / (mu + rr), 0.0
+                ).sum(axis=0)
+                return g, h
+
+            gs, hs = jax.lax.map(
+                blk, (counts_b, disp_b, keep.reshape(keep_shape))
+            )
+            g = gs.sum(axis=0)
+            h = hs.sum(axis=0)
+            step = jnp.where(h > 0, g / h, jnp.sign(g))
+            return s - jnp.clip(step, -1.0, 1.0)
+
+        def sf_outer(s, _):
+            keep = keep_mask(s)
+            s = jax.lax.fori_loop(0, 8, lambda i, cur: newton_step(cur, keep), s)
+            return s, None
+
+        raw, _ = jax.lax.scan(sf_outer, log_sf, None, length=6)
+        return raw - raw.mean(), any_informative
+
+    if blocked:
+        iteration = iteration_blocked
 
     def cond(carry):
         it, _, done = carry

@@ -62,6 +62,33 @@ def test_iterative_size_factors(counts_df, metadata, tol=0.02):
     ).max() < tol
 
 
+def test_iterative_size_factors_blocked_matches_whole_g():
+    """gene_block= tiles the device solver's (G, N) stages over gene tiles;
+    the result must match the whole-G program to reduction-reassociation
+    rounding (the tiling only changes summation order), including with a
+    padded last tile and with explicitly masked padding lanes."""
+    import jax.numpy as jnp
+
+    from pydeseq2_tpu.ops.sizefactors import iterative_size_factors
+
+    rng = np.random.default_rng(3)
+    counts = rng.poisson(15.0, (37, 9)).astype(np.float64)
+    counts[np.arange(37), np.arange(37) % 9] = 0.0  # a zero in every gene
+    full, it_full = iterative_size_factors(jnp.asarray(counts))
+    blk, it_blk = iterative_size_factors(jnp.asarray(counts), gene_block=8)
+    assert int(it_full) == int(it_blk)
+    np.testing.assert_allclose(np.asarray(blk), np.asarray(full), rtol=1e-9)
+
+    # Pre-padded gene axis + mask (the streamed wrapper's calling shape):
+    # pad lanes must not perturb the optimization in either tiling.
+    counts_pad = np.concatenate([counts, np.zeros((5, 9))])
+    mask = np.arange(42) < 37
+    blk_m, _ = iterative_size_factors(
+        jnp.asarray(counts_pad), jnp.asarray(mask), gene_block=8
+    )
+    np.testing.assert_allclose(np.asarray(blk_m), np.asarray(full), rtol=1e-9)
+
+
 def test_deseq2_norm_matches_dataset(counts_df, metadata):
     dds = DeseqDataSet(counts=counts_df, metadata=metadata)
     dds.fit_size_factors()
