@@ -15,7 +15,7 @@ wall. This version measures:
    (IRLS ``lax.while_loop``, trend exclusion ``lax.while_loop``) are rerun
    standalone on the *same inputs* the fused program produces, with
    ``return_iters``/``return_rounds`` instrumentation. Dispersion solves are
-   static-trip by design (defaults from ops/dispersion.py: 40-point coarse
+   static-trip by design (defaults from ops/dispersion.py: 32-point coarse
    scan + 4-step Newton-only polish; the MAP fit reuses the coarse cache:
    0 + 4).
 
@@ -203,7 +203,7 @@ def main() -> None:
     trips = {
         "irls_while_loop": n_irls,
         "trend_exclusion_rounds": n_trend,
-        "genewise_disp_static": {"coarse_scan": 40, "fine_scan": 0, "newton": 4},
+        "genewise_disp_static": {"coarse_scan": 32, "fine_scan": 0, "newton": 4},
         "map_disp_static": {"coarse_scan": 0, "fine_scan": 0, "newton": 4},
         "note": "irls trips = slowest lane (every trip processes all G "
         "lanes). The genewise stage also contains the static-trip grid "
@@ -218,7 +218,7 @@ def main() -> None:
     # traffic — still the right scale for bound classification.
     per_stage_roofline = {}
     # lax.scan lowers to an HLO while too, so the static-trip grid scans are
-    # equally undercounted: genewise = 40 coarse + 4 Newton body
+    # equally undercounted: genewise = 32 coarse + 4 Newton body
     # evaluations of the (G, N) objective (fine scan disabled), MAP = 0 + 4
     # (its coarse scan reuses the genewise cache; only the Newton polish
     # re-evaluates the objective). Keep these in sync with the
@@ -227,7 +227,7 @@ def main() -> None:
     trip_mult = {
         "irls_lfc": n_irls,
         "trend": max(n_trend, 1),
-        "genewise_disp": 44,
+        "genewise_disp": 36,
         "map_disp": 4,
     }
     for s in stages:

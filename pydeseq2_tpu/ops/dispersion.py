@@ -85,7 +85,7 @@ def alpha_mle_batch(
     prior_disp_var: float | None = None,
     cr_reg: bool = True,
     prior_reg: bool = False,
-    grid_length: int = 40,
+    grid_length: int = 32,
     fine_length: int = 0,
     newton_iters: int = 4,
     return_coarse: bool = False,
