@@ -541,6 +541,23 @@ def main() -> None:
         "pass_excluding_degenerate_lfc": rel < 0.02,
     }
 
+    # The gene-blocked execution path (lax.map tiling of every (G, N)
+    # stage — the auto-picked route past ~1 GB of counts) must hit the
+    # same golden on-device: a forced 4-gene tile over the 10-gene
+    # fixture exercises multi-tile reductions AND a ragged last tile.
+    sf_it_b, _ = iterative_size_factors(
+        counts_gm32, max_disp=float(max(10, len(counts_df))), gene_block=4
+    )
+    rel = float(
+        (np.abs(r_sf_it.values - np.asarray(sf_it_b)) / np.abs(r_sf_it.values)).max()
+    )
+    results["iterative_sf_device_blocked"] = {
+        "tol": 0.02,
+        "max_rel_err": {"size_factors": rel},
+        "pass": rel < 0.02,
+        "pass_excluding_degenerate_lfc": rel < 0.02,
+    }
+
     results["all_pass"] = all(
         v["pass"] for v in results.values() if isinstance(v, dict) and "pass" in v
     )
